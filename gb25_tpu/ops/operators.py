@@ -1,0 +1,96 @@
+"""Finite-volume operators on the staggered C grid (halo-extended arrays).
+
+These implement the discrete operators the reference gets from Oceananigans:
+horizontal divergence, vertical vorticity, continuity (diagnostic w),
+hydrostatic pressure integral, kinetic energy — all as shape-preserving
+element-wise/shift arithmetic suitable for XLA fusion on the TPU VPU.
+
+All inputs/outputs are halo-extended arrays; each operator consumes one cell
+of halo validity per difference/interpolation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gb25_tpu.ops.stencils import dx_c, dx_f, dy_c, dy_f, ix_c, ix_f, iy_c, iy_f
+
+
+def horizontal_divergence(grid, u, v):
+    """del_h . (u, v) at cell centers: (dx_c(u dy) + dy_c(v dx)) / Az.
+
+    With depth-independent cell thickness the dz factors cancel, so this is
+    the per-layer horizontal divergence used by continuity and the free
+    surface. u at (f,c), v at (c,f); dy at u-points is ``dyc``, dx at
+    v-points is ``dxf``.
+    """
+    return (dx_c(u * grid.dyc) + dy_c(v * grid.dxf)) / grid.azc
+
+
+def vertical_vorticity(grid, u, v):
+    """zeta at corners (f,f): circulation / corner area.
+
+    zeta = (dx_f(v dyf) - dy_f(u dxc)) / azf. Free-slip walls give exactly
+    zero wall circulation thanks to mirrored ghost u and mirrored metrics.
+    """
+    return (dx_f(v * grid.dyf) - dy_f(u * grid.dxc)) / grid.azf
+
+
+def kinetic_energy(u, v):
+    """K = (u^2 + v^2)/2 at cell centers (2nd-order interpolated)."""
+    return 0.5 * (ix_c(u * u) + iy_c(v * v))
+
+
+def diagnose_w(grid, u, v):
+    """Vertical velocity at z-faces from continuity: dw/dz = -del_h.(u,v).
+
+    Integrates upward from w = 0 at the sea floor. Input u, v are extended
+    arrays; the returned w is an extended array whose z-ghosts are zero below
+    the bottom and zero-gradient above the surface; horizontal halo validity
+    shrinks by one cell.
+    """
+    hz, Nz = grid.hz, grid.Nz
+    div = horizontal_divergence(grid, u, v)  # extended; z-ghosts garbage
+    div_int = div[:, :, hz : hz + Nz] * grid.dz_c[:, :, hz : hz + Nz]
+    # w at bottom face of interior cell k: -(sum of div*dz below k)
+    wcum = jnp.cumsum(div_int, axis=2)
+    w_int = jnp.concatenate([jnp.zeros_like(wcum[:, :, :1]), -wcum[:, :, :-1]], axis=2)
+    w_top = -wcum[:, :, -1:]  # w at the surface face (= d(eta)/dt forcing)
+    # re-extend in z: zeros below bottom; surface value then zero-gradient above
+    below = jnp.zeros_like(w_int[:, :, :1]).repeat(hz, axis=2)
+    above = jnp.repeat(w_top, hz, axis=2)
+    return jnp.concatenate([below, w_int, above], axis=2)
+
+
+def hydrostatic_pressure(grid, b):
+    """Hydrostatic pressure anomaly (p/rho0, m^2/s^2) at cell centers.
+
+    p(z_c[k]) = integral_z^0 of -(-b) : p[k] = sum_{k'>k} b[k'] dz_c[k'] +
+    0.5 b[k] dz_c[k] integrated downward from p(surface)=0. The free-surface
+    contribution g*eta is handled by the free-surface solver, not here
+    (split-explicit: reference src/baroclinic_instability_model.jl:22).
+    """
+    hz, Nz = grid.hz, grid.Nz
+    bdz = b[:, :, hz : hz + Nz] * grid.dz_c[:, :, hz : hz + Nz]
+    # reversed cumulative sum excluding own layer + half own layer
+    total = jnp.sum(bdz, axis=2, keepdims=True)
+    csum = jnp.cumsum(bdz, axis=2)
+    p_int = total - csum + 0.5 * bdz
+    below = jnp.repeat(p_int[:, :, :1], hz, axis=2)
+    above = jnp.repeat(p_int[:, :, -1:], hz, axis=2)
+    return jnp.concatenate([below, p_int, above], axis=2)
+
+
+def barotropic_transport(grid, u, v):
+    """Depth-integrated transports U = int u dz, V = int v dz (extended xy)."""
+    hz, Nz = grid.hz, grid.Nz
+    dz = grid.dz_c[:, :, hz : hz + Nz]
+    U = jnp.sum(u[:, :, hz : hz + Nz] * dz, axis=2)
+    V = jnp.sum(v[:, :, hz : hz + Nz] * dz, axis=2)
+    return U, V
+
+
+def coriolis_ff(grid, omega):
+    """Planetary vorticity f = 2 Omega sin(phi) at corner points (f,f)."""
+    f = 2.0 * omega * jnp.sin(jnp.deg2rad(grid.phi_f))
+    return f.reshape(1, -1, 1).astype(grid.dtype)
