@@ -1,0 +1,220 @@
+"""The hydrostatic free-surface model time step (one pure jitted function).
+
+Reimplements the capability of Oceananigans' ``HydrostaticFreeSurfaceModel``
+quasi-AB2 step, whose stage decomposition the reference documents at
+/root/reference/src/precompile.jl:31-42:
+
+  1. mask immersed fields            -> masking (immersed grids; no-op here)
+  2. fill halos of prognostic fields -> functional halo extension
+  3. compute auxiliaries             -> w from continuity, buoyancy,
+                                        hydrostatic pressure, diffusivities
+  4. fill diffusivity halos          -> (local) extension
+  5. compute tendencies              -> WENO advection, Coriolis, pressure
+  6. ab2_step                        -> quasi-AB2 update (Euler first step)
+                                        + split-explicit barotropic substep
+  7. fill halos                      -> next step's extension
+  8. correct velocities & cache G    -> barotropic correction, G history
+
+In this TPU-first design the eight stages are one traced function body; XLA
+fuses stages 3-6 into large elementwise kernels and the halo extensions are
+``lax.ppermute`` exchanges when running under ``shard_map``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gb25_tpu.models.config import (
+    ExplicitFreeSurface,
+    HydrostaticConfig,
+    SplitExplicitFreeSurface,
+    VerticalScalarDiffusivity,
+)
+from gb25_tpu.models.free_surface import barotropic_substep, explicit_eta_tendency
+from gb25_tpu.models.state import HydrostaticState
+from gb25_tpu.ops.halos import extend_field, extend_field_xy
+from gb25_tpu.ops.operators import (
+    coriolis_ff,
+    diagnose_w,
+    hydrostatic_pressure,
+    kinetic_energy,
+    vertical_vorticity,
+)
+from gb25_tpu.ops.stencils import (
+    dx_c, dx_f, dy_c, dy_f, dz_c, dz_f, ix_c, ix_f, iy_c, iy_f, iz_c,
+)
+from gb25_tpu.ops.tridiagonal import implicit_vertical_diffusion
+from gb25_tpu.ops.weno import centered2, upwind1, weno5_upwind
+
+
+def _row_index(grid, comm):
+    """Global y row index of each local row, shape (Ny_local,)."""
+    import jax
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (grid.Ny, 1), 0)[:, 0]
+    if comm is not None:
+        rows = rows + comm.y_offset(grid.Ny)
+    return rows
+
+
+def mask_v_wall(grid, v, comm=None, total_ny=None):
+    """Zero the meridional velocity on the southern wall face (global j = 0).
+
+    v[j] sits on the *south* face of row j, so only global row 0 is a wall;
+    the north wall is the virtual face Ny (not stored).
+    """
+    rows = _row_index(grid, comm)
+    mask = (rows != 0).astype(v.dtype)
+    if v.ndim == 3:
+        return v * mask[None, :, None]
+    return v * mask[None, :]
+
+
+def buoyancy_field(cfg, grid, tracers_e):
+    """Buoyancy on extended arrays from the configured EOS / tracer set."""
+    if "b" in tracers_e:  # direct buoyancy-tracer mode
+        return tracers_e["b"]
+    return cfg.eos.buoyancy(tracers_e["T"], tracers_e["S"], grid.z_c)
+
+
+def compute_tendencies(cfg, grid, state, comm=None):
+    """Stages 1-5: returns interior tendency arrays (Gu, Gv, Geta, {Gc})."""
+    # -- stage 2: halo fill (prognostic) --
+    ue = extend_field(grid, state.u, "u", comm)
+    ve = extend_field(grid, state.v, "v", comm)
+    tr_e = {k: extend_field(grid, c, "c", comm) for k, c in state.tracers.items()}
+
+    # -- stage 3: auxiliaries --
+    we = diagnose_w(grid, ue, ve)
+    be = buoyancy_field(cfg, grid, tr_e)
+    pe = hydrostatic_pressure(grid, be)
+
+    dtype = state.u.dtype
+    eps = cfg.weno_eps
+
+    # -- stage 5: momentum tendencies (vector-invariant) --
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(dtype)
+    q = jnp.broadcast_to(f_ff, ue.shape)
+    if cfg.momentum_advection in ("weno_vector_invariant", "vector_invariant"):
+        q = q + vertical_vorticity(grid, ue, ve)
+
+    vbar_fc = iy_c(ix_f(ve))  # v interpolated to u-points (f,c)
+    ubar_cf = ix_c(iy_f(ue))  # u interpolated to v-points (c,f)
+
+    if cfg.momentum_advection == "weno_vector_invariant":
+        q_u = weno5_upwind(q, vbar_fc, "y", align="center", eps=eps)
+        q_v = weno5_upwind(q, ubar_cf, "x", align="center", eps=eps)
+    else:
+        q_u = iy_c(q)
+        q_v = ix_c(q)
+
+    Gu = q_u * vbar_fc
+    Gv = -q_v * ubar_cf
+
+    if cfg.momentum_advection in ("weno_vector_invariant", "vector_invariant"):
+        K = kinetic_energy(ue, ve)
+        Gu = Gu - dx_f(K) / grid.dxc
+        Gv = Gv - dy_f(K) / grid.dyf
+        # vertical advection in advective form: -w du/dz at velocity points
+        dudz = dz_f(ue) / grid.dz_f
+        dvdz = dz_f(ve) / grid.dz_f
+        Gu = Gu - iz_c(ix_f(we) * dudz)
+        Gv = Gv - iz_c(iy_f(we) * dvdz)
+
+    # hydrostatic pressure-anomaly gradient
+    Gu = Gu - dx_f(pe) / grid.dxc
+    Gv = Gv - dy_f(pe) / grid.dyf
+
+    # explicit free surface: barotropic pressure gradient in the slow tendency
+    if isinstance(cfg.free_surface, ExplicitFreeSurface):
+        g = cfg.free_surface.gravitational_acceleration
+        hx, hy = grid.hx, grid.hy
+        etae = extend_field_xy(grid, state.eta, "c", comm)[:, :, None]
+        Gu = Gu - g * dx_f(etae) / grid.dxc
+        Gv = Gv - g * dy_f(etae) / grid.dyf
+        Geta = explicit_eta_tendency(grid, ue, ve)[hx : hx + grid.Nx, hy : hy + grid.Ny]
+    else:
+        Geta = jnp.zeros_like(state.eta)
+
+    # -- tracer tendencies (flux-form advection) --
+    Gtr = {}
+    for name, ce in tr_e.items():
+        if cfg.tracer_advection == "none":
+            Gtr[name] = jnp.zeros_like(state.tracers[name])
+            continue
+        if cfg.tracer_advection == "weno5":
+            cx = weno5_upwind(ce, ue, "x", eps=eps)
+            cy = weno5_upwind(ce, ve, "y", eps=eps)
+            cz = weno5_upwind(ce, we, "z", eps=eps)
+        elif cfg.tracer_advection == "centered2":
+            cx, cy, cz = centered2(ce, "x"), centered2(ce, "y"), centered2(ce, "z")
+        else:  # upwind1
+            cx, cy, cz = upwind1(ce, ue, "x"), upwind1(ce, ve, "y"), upwind1(ce, we, "z")
+        Gc = -(dx_c(ue * grid.dyc * cx) + dy_c(ve * grid.dxf * cy)) / grid.azc
+        Gc = Gc - dz_c(we * cz) / grid.dz_c
+        Gtr[name] = grid.interior(Gc)
+
+    Gu = grid.interior(Gu)
+    Gv = mask_v_wall(grid, grid.interior(Gv), comm)
+    return Gu, Gv, Geta, Gtr
+
+
+def _ab2_coeffs(cfg, state, dtype):
+    chi = cfg.chi
+    first = (state.iteration == 0)
+    c1 = jnp.where(first, 1.0, 1.5 + chi).astype(dtype)
+    c2 = jnp.where(first, 0.0, -(0.5 + chi)).astype(dtype)
+    return c1, c2
+
+
+def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=None):
+    """One full quasi-AB2 hydrostatic time step (stages 1-8). Pure function."""
+    dtype = state.u.dtype
+    dt = jnp.asarray(dt, dtype)
+    Gu, Gv, Geta, Gtr = compute_tendencies(cfg, grid, state, comm)
+    c1, c2 = _ab2_coeffs(cfg, state, dtype)
+
+    Gu_ab = c1 * Gu + c2 * state.Gu
+    Gv_ab = c1 * Gv + c2 * state.Gv
+    u_star = state.u + dt * Gu_ab
+    v_star = state.v + dt * Gv_ab
+    tracers = {k: state.tracers[k] + dt * (c1 * Gtr[k] + c2 * state.Gtracers[k])
+               for k in state.tracers}
+
+    if isinstance(cfg.free_surface, SplitExplicitFreeSurface):
+        eta, u_new, v_new = barotropic_substep(
+            cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm
+        )
+    else:
+        eta = state.eta + dt * (c1 * Geta + c2 * state.Geta)
+        u_new, v_new = u_star, v_star
+
+    v_new = mask_v_wall(grid, v_new, comm)
+
+    # stage: vertically-implicit closure
+    if isinstance(cfg.closure, VerticalScalarDiffusivity):
+        hz, Nz = grid.hz, grid.Nz
+        dzc = grid.dz_c[:, :, hz : hz + Nz]
+        dzf = grid.dz_f[:, :, hz : hz + Nz]
+        nu, kap = cfg.closure.nu, cfg.closure.kappa
+        u_new = implicit_vertical_diffusion(u_new, nu, dt, dzc, dzf)
+        v_new = implicit_vertical_diffusion(v_new, nu, dt, dzc, dzf)
+        tracers = {k: implicit_vertical_diffusion(c, kap, dt, dzc, dzf)
+                   for k, c in tracers.items()}
+
+    return state.replace(
+        u=u_new, v=v_new, eta=eta, tracers=tracers,
+        Gu=Gu, Gv=Gv, Geta=Geta, Gtracers=Gtr,
+        time=state.time + dt, iteration=state.iteration + 1,
+    )
+
+
+def loop(cfg, grid, state, dt, n, comm=None):
+    """n time steps as one on-device loop (reference: GordonBell25.loop!,
+    /root/reference/src/timestepping_utils.jl:37-45 — a single HLO while)."""
+    import jax
+
+    def body(_, s):
+        return time_step(cfg, grid, s, dt, comm)
+
+    return jax.lax.fori_loop(0, n, body, state)

@@ -1,0 +1,50 @@
+"""Per-device grid localization inside ``shard_map``.
+
+The grid pytree enters ``shard_map`` replicated (its metric arrays are tiny
+1-D profiles). Each device slices out the metric window covering its tile
+plus halos, producing a local grid object on which the *identical* physics
+code runs — this is how one model implementation serves both the
+single-device and the distributed path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def localize_grid(grid, comm, nx_local: int, ny_local: int):
+    hx, hy = grid.hx, grid.hy
+    ix = jnp.asarray(comm.x_offset(nx_local), jnp.int32)
+    iy = jnp.asarray(comm.y_offset(ny_local), jnp.int32)
+    z0 = jnp.zeros((), jnp.int32)
+
+    def loc_x1d(a):  # (Nx+2hx,)
+        return lax.dynamic_slice(a, (ix,), (nx_local + 2 * hx,))
+
+    def loc_y1d(a):  # (Ny+2hy,)
+        return lax.dynamic_slice(a, (iy,), (ny_local + 2 * hy,))
+
+    def loc_xy3d(a):  # (1 or Nx+2hx, Ny+2hy, 1)
+        if a.shape[0] == 1:
+            return lax.dynamic_slice(a, (z0, iy, z0), (1, ny_local + 2 * hy, 1))
+        return lax.dynamic_slice(a, (ix, iy, z0), (nx_local + 2 * hx, ny_local + 2 * hy, 1))
+
+    return dataclasses.replace(
+        grid,
+        Nx=nx_local,
+        Ny=ny_local,
+        lam_c=loc_x1d(grid.lam_c),
+        lam_f=loc_x1d(grid.lam_f),
+        phi_c=loc_y1d(grid.phi_c),
+        phi_f=loc_y1d(grid.phi_f),
+        dxc=loc_xy3d(grid.dxc),
+        dxf=loc_xy3d(grid.dxf),
+        dyc=loc_xy3d(grid.dyc),
+        dyf=loc_xy3d(grid.dyf),
+        azc=loc_xy3d(grid.azc),
+        azf=loc_xy3d(grid.azf),
+        bottom_height=lax.dynamic_slice(grid.bottom_height, (ix, iy), (nx_local, ny_local)),
+    )

@@ -1,0 +1,86 @@
+"""Distributed-vs-serial differential tests (the reference's core protocol:
+correctness/correctness_sharded_baroclinic_instability_simulation_run.jl runs
+the identical model on a Distributed Reactant arch vs single CPU and asserts
+field-level agreement; SURVEY.md section 4.1-4.2). Runs on 8 virtual CPU
+devices via --xla_force_host_platform_device_count.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gb25_tpu.grids import simple_latitude_longitude_grid
+from gb25_tpu.models import (
+    baroclinic_instability_config,
+    baroclinic_instability_state,
+    time_step,
+)
+from gb25_tpu.parallel import factors, make_mesh, shard_state, sharded_step_fn
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_factors_policy():
+    assert factors(4) == (2, 2)
+    assert factors(16) == (4, 4)
+    assert factors(8) == (4, 2)
+    assert factors(2) == (2, 1)
+    assert factors(512) == (32, 32)
+    rx, ry = factors(24)
+    assert rx * ry == 24
+
+
+def _setup(dtype=jnp.float64):
+    grid = simple_latitude_longitude_grid(32, 16, 4, dtype=dtype)
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    return cfg, grid, state
+
+
+def _compare_states(a, b, rtol, atol=0.0):
+    la, treedef = jax.tree_util.tree_flatten(a)
+    lb = jax.tree_util.tree_leaves(b)
+    for xa, xb in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 2), (8, 1), (1, 2)])
+def test_sharded_matches_single_device(mesh_shape):
+    cfg, grid, state = _setup()
+    n = mesh_shape[0] * mesh_shape[1]
+    mesh = make_mesh(n, shape=mesh_shape)
+
+    # serial reference (3 steps, exercises Euler + AB2 paths)
+    s_ref = state
+    step = jax.jit(time_step)
+    for _ in range(3):
+        s_ref = step(cfg, grid, s_ref, 60.0)
+
+    # sharded
+    sfn = sharded_step_fn(cfg, grid, mesh)
+    s_sh = shard_state(state, mesh)
+    for _ in range(3):
+        s_sh = sfn(s_sh, 60.0)
+
+    # float64: tolerances near machine precision (reference protocol:
+    # rtol=sqrt(eps), atol=0 — we are stricter since the program is identical
+    # up to reduction/fusion order)
+    _compare_states(s_ref, s_sh, rtol=1e-9, atol=1e-13)
+
+
+def test_no_gather_or_reduce_in_compiled_hlo():
+    """The reference CI greps compiled XLA and fails on any all-to-all,
+    all-gather or all-reduce (CompileOrRun.yml:129-151): steady-state
+    communication must be collective-permute halo exchange only."""
+    cfg, grid, state = _setup(dtype=jnp.float32)
+    mesh = make_mesh(8, shape=(4, 2))
+    sfn = sharded_step_fn(cfg, grid, mesh)
+    s_sh = shard_state(state, mesh)
+    lowered = sfn.lower(s_sh, jnp.float32(60.0))
+    hlo = lowered.compile().as_text()
+    for bad in ("all-gather", "all-reduce", "all-to-all", "dynamic-update-slice-start"):
+        assert bad not in hlo, f"forbidden collective {bad} in compiled HLO"
+    assert "collective-permute" in hlo
