@@ -22,11 +22,11 @@ REFERENCE_CELL_STEPS_PER_SEC = 768 * 768 * 64 / 0.221  # Alps GH200 per-GPU
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--nx", type=int, default=512)
-    p.add_argument("--ny", type=int, default=256)
+    p.add_argument("--nx", type=int, default=1536)
+    p.add_argument("--ny", type=int, default=768)
     p.add_argument("--nz", type=int, default=64)
-    p.add_argument("--steps", type=int, default=64)
-    p.add_argument("--warmup", type=int, default=8)
+    p.add_argument("--steps", type=int, default=16)
+    p.add_argument("--warmup", type=int, default=4)
     p.add_argument("--dt", type=float, default=60.0)
     p.add_argument("--dtype", default="float32")
     args = p.parse_args()

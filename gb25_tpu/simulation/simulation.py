@@ -1,0 +1,135 @@
+"""Simulation driver: schedules, callbacks, output writers, progress.
+
+Reference surface reimplemented: ``Simulation(coupled_model; Δt, stop_time)``
+with ``add_callback!(progress, IterationInterval(10))`` and
+``JLD2OutputWriter`` (/root/reference/simulations/ocean_climate_simulation.jl:90-139),
+plus the ``loop!`` driver used by the benchmarks
+(/root/reference/src/timestepping_utils.jl:37-45).
+
+Design: the hot path stays on device — the driver advances in *chunks* of
+``inner_steps`` using one jitted ``lax.fori_loop`` program (like the
+reference's traced 256-step while-loop) and only returns to Python at
+callback/output boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time as _time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from gb25_tpu.models.hydrostatic import loop as _loop
+
+logger = logging.getLogger("gb25_tpu")
+
+
+@dataclasses.dataclass
+class IterationInterval:
+    every: int
+
+    def aligned_steps(self, iteration: int, max_steps: int) -> int:
+        k = self.every - (iteration % self.every)
+        return min(k, max_steps)
+
+
+@dataclasses.dataclass
+class TimeInterval:
+    seconds: float
+
+    def aligned_steps(self, iteration: int, max_steps: int) -> int:  # pragma: no cover
+        return max_steps  # approximate: fires after each chunk
+
+
+@dataclasses.dataclass
+class Callback:
+    fn: Callable  # fn(sim) -> None
+    schedule: object
+
+
+class Simulation:
+    """Drives a jitted model; reference analog of Oceananigans' Simulation."""
+
+    def __init__(self, cfg, grid, state, dt, stop_time=None, stop_iteration=None,
+                 inner_steps=16, comm=None, step_fn=None):
+        self.cfg = cfg
+        self.grid = grid
+        self.state = state
+        self.dt = float(dt)
+        self.stop_time = stop_time
+        self.stop_iteration = stop_iteration
+        self.inner_steps = inner_steps
+        self.callbacks: list[Callback] = []
+        self.output_writers: list = []
+        self._step_fn = step_fn or jax.jit(_loop, static_argnames="n")
+        self._comm = comm
+        self.run_wall_time = 0.0
+
+    # -- reference: add_callback!(sim, progress, IterationInterval(10)) --
+    def add_callback(self, fn, schedule):
+        self.callbacks.append(Callback(fn, schedule))
+
+    def add_output_writer(self, writer):
+        self.output_writers.append(writer)
+
+    @property
+    def iteration(self) -> int:
+        return int(self.state.iteration)
+
+    @property
+    def time(self) -> float:
+        return float(self.state.time)
+
+    def _next_chunk(self) -> int:
+        n = self.inner_steps
+        if self.stop_iteration is not None:
+            n = min(n, self.stop_iteration - self.iteration)
+        if self.stop_time is not None:
+            n = min(n, int(np.ceil((self.stop_time - self.time) / self.dt - 1e-9)))
+        for cb in self.callbacks:
+            if isinstance(cb.schedule, IterationInterval):
+                n = min(n, cb.schedule.aligned_steps(self.iteration, n))
+        return max(n, 0)
+
+    def _should_stop(self) -> bool:
+        if self.stop_iteration is not None and self.iteration >= self.stop_iteration:
+            return True
+        if self.stop_time is not None and self.time >= self.stop_time - 1e-9:
+            return True
+        return False
+
+    def run(self):
+        """Reference analog of ``run!(simulation)``."""
+        t0 = _time.perf_counter()
+        while not self._should_stop():
+            n = self._next_chunk()
+            if n <= 0:
+                break
+            self.state = self._step_fn(self.cfg, self.grid, self.state, self.dt, n)
+            jax.block_until_ready(self.state)
+            for cb in self.callbacks:
+                if isinstance(cb.schedule, IterationInterval):
+                    if self.iteration % cb.schedule.every == 0:
+                        cb.fn(self)
+                else:
+                    cb.fn(self)
+            for w in self.output_writers:
+                w.maybe_write(self)
+        self.run_wall_time = _time.perf_counter() - t0
+        return self.state
+
+
+def progress_callback(sim: Simulation):
+    """Default progress logger (reference:
+    simulations/ocean_climate_simulation.jl:95-116: iteration, time, max|u|,
+    extrema(T), wall time)."""
+    s = sim.state
+    u = np.asarray(s.u)
+    msg = f"iter={sim.iteration} t={sim.time / 86400.0:.3f} days max|u|={np.abs(u).max():.4f}"
+    if "T" in s.tracers:
+        T = np.asarray(s.tracers["T"])
+        msg += f" T in [{T.min():.3f}, {T.max():.3f}]"
+    logger.info(msg)

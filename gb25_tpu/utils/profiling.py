@@ -1,0 +1,63 @@
+"""Profiling integration (XSpace traces + annotations).
+
+Reference behavior reimplemented: ``Reactant.with_profiler(dir)`` +
+``Reactant.Profiler.annotate(name; metadata)`` producing XSpace
+``.xplane.pb`` traces (/root/reference/sharding/sharded_baroclinic_instability_simulation_run.jl:135-148,
+src/timestepping_utils.jl:22-38). ``jax.profiler`` emits the *same* XSpace
+protobuf format, so the reference's offline analysis tooling
+(analysis/xspace) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def with_profiler(directory: str | None):
+    """Trace everything inside the block to an XSpace trace in ``directory``."""
+    if directory is None:
+        yield
+        return
+    with jax.profiler.trace(directory):
+        yield
+
+
+def annotate(name: str, **metadata):
+    """Span annotation visible in the trace viewer (reference:
+    Profiler.annotate)."""
+    label = name
+    if metadata:
+        label += "#" + ",".join(f"{k}={v}" for k, v in metadata.items()) + "#"
+    return jax.profiler.TraceAnnotation(label)
+
+
+class Timer:
+    """Minimal phase timer mirroring the reference's `@time "[rank] label"`
+    benchmark log format, scraped by its weak-scaling tooling
+    (analysis/weak-scaling/pm-ablation.jl:8)."""
+
+    def __init__(self, rank: int = 0):
+        self.rank = rank
+
+    @contextlib.contextmanager
+    def __call__(self, label: str):
+        t0 = time.perf_counter()
+        yield
+        dt = time.perf_counter() - t0
+        print(f"[{self.rank}] {label}: {dt:.6f} seconds", flush=True)
+
+
+def allocator_stats() -> dict:
+    """Device memory telemetry (reference: XLA.allocatorstats,
+    sharding_utils.jl:64-72)."""
+    stats = {}
+    for d in jax.local_devices():
+        try:
+            stats[str(d)] = d.memory_stats()
+        except Exception:
+            stats[str(d)] = None
+    return stats

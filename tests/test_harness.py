@@ -1,0 +1,100 @@
+"""Tests for the harness layer: Simulation driver, sharded checkpoint I/O,
+correctness comparison utilities (reference analogs: Simulation/run!,
+src/sharded_io.jl, src/correctness.jl)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gb25_tpu.grids import simple_latitude_longitude_grid
+from gb25_tpu.models import (
+    baroclinic_instability_config,
+    baroclinic_instability_state,
+)
+from gb25_tpu.simulation import Simulation, IterationInterval
+from gb25_tpu.io import save_sharded_state, load_global_field, load_metadata, restore_state
+from gb25_tpu.utils import compare_states, sync_states
+
+
+@pytest.fixture(scope="module")
+def setup():
+    grid = simple_latitude_longitude_grid(16, 8, 4, dtype=jnp.float64)
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(grid)
+    return cfg, grid, state
+
+
+def test_simulation_stop_iteration(setup):
+    cfg, grid, state = setup
+    sim = Simulation(cfg, grid, state, dt=60.0, stop_iteration=10, inner_steps=4)
+    fired = []
+    sim.add_callback(lambda s: fired.append(s.iteration), IterationInterval(5))
+    sim.run()
+    assert sim.iteration == 10
+    assert sim.time == 600.0
+    assert fired == [5, 10]
+
+
+def test_simulation_stop_time(setup):
+    cfg, grid, state = setup
+    sim = Simulation(cfg, grid, state, dt=60.0, stop_time=300.0, inner_steps=16)
+    sim.run()
+    assert sim.iteration == 5
+    assert abs(sim.time - 300.0) < 1e-9
+
+
+def test_checkpoint_roundtrip_single_device(setup, tmp_path):
+    cfg, grid, state = setup
+    d = str(tmp_path / "ckpt")
+    save_sharded_state(state, d)
+    u = load_global_field(d, "u")
+    np.testing.assert_array_equal(u, np.asarray(state.u))
+    T = load_global_field(d, "tracers/T")
+    np.testing.assert_array_equal(T, np.asarray(state.tracers["T"]))
+    meta = load_metadata(d)
+    assert meta["iteration"] == 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_checkpoint_roundtrip_sharded(setup, tmp_path):
+    from gb25_tpu.parallel import make_mesh, shard_state
+
+    cfg, grid, state = setup
+    mesh = make_mesh(8, shape=(4, 2))
+    sh = shard_state(state, mesh)
+    d = str(tmp_path / "ckpt_sh")
+    save_sharded_state(sh, d)
+    # reassembled global field matches, with per-device shards stored separately
+    u = load_global_field(d, "u")
+    np.testing.assert_array_equal(u, np.asarray(jax.device_get(sh.u)))
+    # restore onto the sharded template
+    restored = restore_state(sh, d)
+    np.testing.assert_array_equal(np.asarray(restored.v), np.asarray(sh.v))
+    assert restored.u.sharding == sh.u.sharding
+
+
+def test_compare_states_pass_and_fail(setup):
+    cfg, grid, state = setup
+    compare_states(state, state, verbose=False)  # identical: no raise
+    bad = state.replace(u=state.u + 1e-3)
+    with pytest.raises(AssertionError):
+        compare_states(state, bad, verbose=False)
+
+
+def test_sync_states(setup):
+    cfg, grid, state = setup
+    other = state.replace(u=state.u * 0)
+    synced = sync_states(state, other)
+    np.testing.assert_array_equal(np.asarray(synced.u), np.asarray(state.u))
+
+
+def test_args_parser():
+    from gb25_tpu.utils.args import benchmark_parser, resolve_grid_size, float_type
+
+    p = benchmark_parser()
+    a = p.parse_args(["--resolution", "2", "--Nz", "10", "--float-type", "f32"])
+    assert resolve_grid_size(a) == (192, 96, 10)
+    assert float_type(a.float_type) == jnp.float32
+    a2 = p.parse_args(["--grid-x", "64", "--grid-y", "32", "--grid-z", "8"])
+    assert resolve_grid_size(a2) == (64, 32, 8)
