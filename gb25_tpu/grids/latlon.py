@@ -76,7 +76,7 @@ def _extend_mirror_faces(a: np.ndarray, h: int, lo_pivot: float, hi_pivot: float
         "dxc", "dxf", "dyc", "dyf", "azc", "azf",
         "bottom_height",
     ],
-    meta_fields=["Nx", "Ny", "Nz", "halo", "x_periodic", "dtype_name"],
+    meta_fields=["Nx", "Ny", "Nz", "halo", "x_periodic", "dtype_name", "immersed"],
 )
 @dataclasses.dataclass(frozen=True)
 class LatitudeLongitudeGrid:
@@ -94,6 +94,7 @@ class LatitudeLongitudeGrid:
     halo: tuple  # (hx, hy, hz)
     x_periodic: bool
     dtype_name: str
+    immersed: bool  # True when bottom_height carries real bathymetry
 
     # -- coordinates (halo-extended 1-D) --
     lam_c: jax.Array  # (Nx+2hx,) cell-center longitude, degrees
@@ -280,7 +281,7 @@ def latitude_longitude_grid(
 
     return LatitudeLongitudeGrid(
         Nx=Nx, Ny=Ny, Nz=Nz, halo=(hx, hy, hz), x_periodic=x_periodic,
-        dtype_name=jnp.dtype(dtype).name,
+        dtype_name=jnp.dtype(dtype).name, immersed=False,
         lam_c=jnp.asarray(lam_c_e, dtype=dtype),
         lam_f=jnp.asarray(lam_f_e, dtype=dtype),
         phi_c=jnp.asarray(phi_c_e, dtype=dtype),

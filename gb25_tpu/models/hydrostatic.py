@@ -84,6 +84,18 @@ def compute_tendencies(cfg, grid, state, comm=None):
     ve = extend_field(grid, state.v, "v", comm)
     tr_e = {k: extend_field(grid, c, "c", comm) for k, c in state.tracers.items()}
 
+    # -- stage 1: immersed masking (reference: mask_immersed_model_fields!,
+    # precompile.jl:34) — zero face velocities on solid faces so every flux
+    # through the bathymetry vanishes --
+    if grid.immersed:
+        from gb25_tpu.grids.immersed import immersed_masks
+
+        _, u_mask_e, v_mask_e = immersed_masks(grid, comm)
+        ue = ue * u_mask_e
+        ve = ve * v_mask_e
+    else:
+        u_mask_e = v_mask_e = None
+
     # -- stage 3: auxiliaries --
     we = diagnose_w(grid, ue, ve)
     be = buoyancy_field(cfg, grid, tr_e)
@@ -155,7 +167,11 @@ def compute_tendencies(cfg, grid, state, comm=None):
         Gtr[name] = grid.interior(Gc)
 
     Gu = grid.interior(Gu)
-    Gv = mask_v_wall(grid, grid.interior(Gv), comm)
+    Gv = grid.interior(Gv)
+    if grid.immersed:
+        Gu = Gu * grid.interior(u_mask_e)
+        Gv = Gv * grid.interior(v_mask_e)
+    Gv = mask_v_wall(grid, Gv, comm)
     return Gu, Gv, Geta, Gtr
 
 
@@ -190,6 +206,14 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         u_new, v_new = u_star, v_star
 
     v_new = mask_v_wall(grid, v_new, comm)
+
+    if grid.immersed:
+        # re-mask after the barotropic correction touched full columns
+        from gb25_tpu.grids.immersed import interior_masks
+
+        u_mask, v_mask = interior_masks(grid, comm)
+        u_new = u_new * u_mask
+        v_new = v_new * v_mask
 
     # stage: vertically-implicit closure
     if isinstance(cfg.closure, VerticalScalarDiffusivity):

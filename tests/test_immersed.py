@@ -1,0 +1,64 @@
+"""Immersed-bathymetry tests (reference: gaussian_islands ImmersedBoundaryGrid,
+model_utils.jl:134-146)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gb25_tpu.grids import simple_latitude_longitude_grid
+from gb25_tpu.grids.immersed import gaussian_islands_bottom, interior_masks, with_bathymetry
+from gb25_tpu.models import (
+    baroclinic_instability_config,
+    baroclinic_instability_state,
+    loop,
+)
+
+
+def test_gaussian_islands_bathymetry():
+    grid = gaussian_islands_bottom(simple_latitude_longitude_grid(48, 24, 8, dtype=jnp.float64))
+    assert grid.immersed
+    bh = np.asarray(grid.bottom_height)
+    # islands rise near sea level around (70E, 55N) and (250E, 55N)
+    assert bh.max() > -300.0
+    assert bh.min() == float(grid.z_f_i[0])
+    i, j = np.unravel_index(bh.argmax(), bh.shape)
+    assert abs(float(grid.lam_c_i[i]) - 70) < 10 or abs(float(grid.lam_c_i[i]) - 250) < 10
+    assert abs(float(grid.phi_c_i[j]) - 55) < 10
+    u_mask, v_mask = (np.asarray(m) for m in interior_masks(grid))
+    assert u_mask.min() == 0.0 and u_mask.max() == 1.0
+
+
+def test_immersed_model_runs_and_freezes_solid_tracers():
+    grid = gaussian_islands_bottom(simple_latitude_longitude_grid(48, 24, 8, dtype=jnp.float64))
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    s = jax.jit(loop, static_argnames="n")(cfg, grid, state, 120.0, 20)
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(s))
+
+    # velocities vanish on solid faces
+    u_mask, v_mask = interior_masks(grid)
+    np.testing.assert_allclose(np.asarray(s.u * (1 - u_mask)), 0.0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s.v * (1 - v_mask)), 0.0, atol=1e-14)
+
+    # tracer values inside the bathymetry are frozen (no flux divergence)
+    from gb25_tpu.grids.immersed import immersed_masks
+
+    c_mask = grid.interior(immersed_masks(grid)[0])
+    solid = np.asarray(c_mask) == 0.0
+    assert solid.any()
+    T0 = np.asarray(state.tracers["T"])
+    T1 = np.asarray(s.tracers["T"])
+    np.testing.assert_allclose(T1[solid], T0[solid], rtol=0, atol=1e-12)
+
+
+def test_flat_bottom_bathymetry_matches_plain_grid():
+    """A bathymetry at full depth must reproduce the non-immersed model."""
+    plain = simple_latitude_longitude_grid(24, 12, 6, dtype=jnp.float64)
+    flat = with_bathymetry(plain, jnp.full((24, 12), float(plain.z_f_i[0])))
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(plain)
+    lp = jax.jit(loop, static_argnames="n")
+    sa = lp(cfg, plain, state, 120.0, 5)
+    sb = lp(cfg, flat, state, 120.0, 5)
+    for a, b in zip(jax.tree_util.tree_leaves(sa), jax.tree_util.tree_leaves(sb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-15)
