@@ -35,9 +35,16 @@ def baroclinic_instability_config(
     eos=None,
 ) -> HydrostaticConfig:
     from gb25_tpu.ops.eos import TEOS10EquationOfState
+    from gb25_tpu.models.catke import CATKEVerticalDiffusivity
+
+    # reference: tracers chosen from buoyancy type, +e for CATKE
+    # (baroclinic_instability_model.jl:42-57)
+    tracers = ("T", "S")
+    if isinstance(closure, CATKEVerticalDiffusivity):
+        tracers = tracers + ("e",)
 
     return HydrostaticConfig(
-        tracers=("T", "S"),
+        tracers=tracers,
         momentum_advection=momentum_advection,
         tracer_advection=tracer_advection,
         eos=eos or TEOS10EquationOfState(),
@@ -47,11 +54,12 @@ def baroclinic_instability_config(
 
 
 def baroclinic_instability_state(
-    grid, noise_velocity=1e-3, noise_tracer=0.0, seed=42, dtype=None
+    grid, noise_velocity=1e-3, noise_tracer=0.0, seed=42, dtype=None,
+    tracers=("T", "S"),
 ) -> HydrostaticState:
     """Initial state on the given grid (analytic T/S + optional noise)."""
     dtype = dtype or grid.dtype
-    state = initial_state(grid, tracers=("T", "S"), dtype=dtype)
+    state = initial_state(grid, tracers=tracers, dtype=dtype)
 
     phi = grid.phi_c_i.reshape(1, -1, 1).astype(dtype)
     z = grid.z_c_i.reshape(1, 1, -1).astype(dtype)
@@ -72,7 +80,12 @@ def baroclinic_instability_state(
         T = T + noise_tracer * jax.random.uniform(kt, shape, dtype)
         S = S + noise_tracer * jax.random.uniform(ks, shape, dtype)
 
-    return state.replace(u=u, v=v, tracers={"T": T.astype(dtype), "S": S.astype(dtype)})
+    new_tracers = dict(state.tracers)
+    new_tracers["T"] = T.astype(dtype)
+    new_tracers["S"] = S.astype(dtype)
+    if "e" in new_tracers:  # seed TKE at its floor
+        new_tracers["e"] = jnp.full(shape, 1e-6, dtype)
+    return state.replace(u=u, v=v, tracers=new_tracers)
 
 
 def baroclinic_instability_model(

@@ -101,6 +101,21 @@ def compute_tendencies(cfg, grid, state, comm=None):
     be = buoyancy_field(cfg, grid, tr_e)
     pe = hydrostatic_pressure(grid, be)
 
+    from gb25_tpu.models.catke import CATKEVerticalDiffusivity, catke_diffusivities
+
+    diffusivities = None
+    G_e_source = None
+    if isinstance(cfg.closure, CATKEVerticalDiffusivity):
+        kap_u_e, kap_c_e, kap_e_e, G_e_ext = catke_diffusivities(
+            cfg.closure, grid, ue, ve, be, tr_e["e"]
+        )
+        diffusivities = {
+            "kappa_u": grid.interior(kap_u_e),
+            "kappa_c": grid.interior(kap_c_e),
+            "kappa_e": grid.interior(kap_e_e),
+        }
+        G_e_source = grid.interior(G_e_ext)
+
     dtype = state.u.dtype
     eps = cfg.weno_eps
 
@@ -165,6 +180,8 @@ def compute_tendencies(cfg, grid, state, comm=None):
         Gc = -(dx_c(ue * grid.dyc * cx) + dy_c(ve * grid.dxf * cy)) / grid.azc
         Gc = Gc - dz_c(we * cz) / grid.dz_c
         Gtr[name] = grid.interior(Gc)
+    if G_e_source is not None:
+        Gtr["e"] = Gtr["e"] + G_e_source
 
     Gu = grid.interior(Gu)
     Gv = grid.interior(Gv)
@@ -172,7 +189,7 @@ def compute_tendencies(cfg, grid, state, comm=None):
         Gu = Gu * grid.interior(u_mask_e)
         Gv = Gv * grid.interior(v_mask_e)
     Gv = mask_v_wall(grid, Gv, comm)
-    return Gu, Gv, Geta, Gtr
+    return Gu, Gv, Geta, Gtr, diffusivities
 
 
 def _ab2_coeffs(cfg, state, dtype):
@@ -187,7 +204,7 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
     """One full quasi-AB2 hydrostatic time step (stages 1-8). Pure function."""
     dtype = state.u.dtype
     dt = jnp.asarray(dt, dtype)
-    Gu, Gv, Geta, Gtr = compute_tendencies(cfg, grid, state, comm)
+    Gu, Gv, Geta, Gtr, diffusivities = compute_tendencies(cfg, grid, state, comm)
     c1, c2 = _ab2_coeffs(cfg, state, dtype)
 
     Gu_ab = c1 * Gu + c2 * state.Gu
@@ -225,6 +242,18 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         v_new = implicit_vertical_diffusion(v_new, nu, dt, dzc, dzf)
         tracers = {k: implicit_vertical_diffusion(c, kap, dt, dzc, dzf)
                    for k, c in tracers.items()}
+    elif diffusivities is not None:  # CATKE: lagged kappas from stage 3
+        hz, Nz = grid.hz, grid.Nz
+        dzc = grid.dz_c[:, :, hz : hz + Nz]
+        dzf = grid.dz_f[:, :, hz : hz + Nz]
+        ku, kc, ke = (diffusivities[k] for k in ("kappa_u", "kappa_c", "kappa_e"))
+        u_new = implicit_vertical_diffusion(u_new, ku, dt, dzc, dzf)
+        v_new = implicit_vertical_diffusion(v_new, ku, dt, dzc, dzf)
+        tracers = {
+            k: implicit_vertical_diffusion(c, ke if k == "e" else kc, dt, dzc, dzf)
+            for k, c in tracers.items()
+        }
+        tracers["e"] = jnp.maximum(tracers["e"], 0.0)
 
     return state.replace(
         u=u_new, v=v_new, eta=eta, tracers=tracers,
