@@ -1,0 +1,140 @@
+"""Coupled ocean-atmosphere model (the reference's OceanSeaIceModel surface).
+
+Reference capability reimplemented: ``data_free_ocean_climate_model_init``
+(/root/reference/src/data_free_ocean_climate_model.jl:12-70) —
+``ocean_simulation`` defaults (SplitExplicitFreeSurface(substeps=30), CATKE
+mixing, dt = 30 s), ``PrescribedAtmosphere`` with analytic wind / shortwave /
+air temperature, ``Radiation``, ``SimilarityTheoryFluxes(FixedIterations(5))``,
+``ComponentInterfaces`` + ``OceanSeaIceModel``. The sea-ice component slot is
+reserved (the reference config carries none either).
+
+Each coupled step: (1) time-interp + regrid the atmosphere, (2) solve the
+similarity bulk fluxes against the ocean surface state, (3) radiation
+balance, (4) deposit kinematic fluxes into the ocean's top cells, (5) ocean
+hydrostatic step. Everything is one traced program and shards like the ocean
+state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gb25_tpu.models.catke import CATKEVerticalDiffusivity
+from gb25_tpu.models.config import HydrostaticConfig, SplitExplicitFreeSurface, static_pytree
+from gb25_tpu.models.fluxes import Radiation, SimilarityTheoryFluxes, radiative_fluxes, similarity_fluxes
+from gb25_tpu.models.hydrostatic import time_step
+from gb25_tpu.ops.halos import FIELD_BCS, extend_axis
+from gb25_tpu.ops.stencils import i_f, i_c
+
+
+@static_pytree
+@dataclasses.dataclass(frozen=True)
+class CoupledConfig:
+    ocean: HydrostaticConfig = None
+    fluxes: SimilarityTheoryFluxes = SimilarityTheoryFluxes()
+    radiation: Radiation = Radiation()
+    rho_ocean: float = 1020.0
+    cp_ocean: float = 3991.0
+    rho_freshwater: float = 1000.0
+    include_currents: bool = True  # wind-relative-to-currents in the bulk solve
+
+
+def _extend2(grid, a, kind, comm):
+    (xlo, xhi), (ylo, yhi), _ = FIELD_BCS[kind]
+    if comm is not None:
+        return comm.extend_xy(a, 1, 1, (xlo, xhi), (ylo, yhi))
+    a = extend_axis(a, 1, 0, xlo, xhi)
+    return extend_axis(a, 1, 1, ylo, yhi)
+
+
+def _crop2(grid, a):
+    return a[1 : 1 + grid.Nx, 1 : 1 + grid.Ny]
+
+
+def compute_interface_fluxes(ccfg: CoupledConfig, grid, atmos, state, comm=None):
+    """Air-sea fluxes on ocean centers -> kinematic surface fluxes dict."""
+    a = atmos.at_time(state.time)
+    To_K = state.tracers["T"][:, :, -1] + 273.15
+    S_surf = state.tracers["S"][:, :, -1]
+
+    if ccfg.include_currents:
+        u_surf = state.u[:, :, -1]
+        v_surf = state.v[:, :, -1]
+        uo = _crop2(grid, i_c(_extend2(grid, u_surf, "u", comm), "x"))
+        vo = _crop2(grid, i_c(_extend2(grid, v_surf, "v", comm), "y"))
+    else:
+        uo = jnp.zeros_like(To_K)
+        vo = jnp.zeros_like(To_K)
+
+    turb = similarity_fluxes(ccfg.fluxes, a, To_K, uo, vo)
+    Q_rad = radiative_fluxes(ccfg.radiation, a, To_K)
+    Q_net = Q_rad + turb["Q_sensible"] + turb["Q_latent"]
+
+    rho0, cp0 = ccfg.rho_ocean, ccfg.cp_ocean
+    # kinematic fluxes into the top cell (positive into the ocean)
+    T_flux = Q_net / (rho0 * cp0)
+    E = turb["evaporation"] / ccfg.rho_freshwater  # freshwater volume flux, m/s
+    S_flux = S_surf * E  # virtual salinity flux (evap concentrates salt)
+
+    # stress at centers -> velocity points
+    taux_c = turb["tau_x"] / rho0
+    tauy_c = turb["tau_y"] / rho0
+    taux_u = _crop2(grid, i_f(_extend2(grid, taux_c, "c", comm), "x"))
+    tauy_v = _crop2(grid, i_f(_extend2(grid, tauy_c, "c", comm), "y"))
+
+    return {"u": taux_u, "v": tauy_v, "T": T_flux, "S": S_flux}, {
+        "Q_net": Q_net, **turb
+    }
+
+
+def coupled_time_step(ccfg: CoupledConfig, grid, atmos, state, dt, comm=None):
+    """One coupled step: interface fluxes then the ocean hydrostatic step."""
+    fluxes, _ = compute_interface_fluxes(ccfg, grid, atmos, state, comm)
+    return time_step(ccfg.ocean, grid, state, dt, comm, surface_fluxes=fluxes)
+
+
+def coupled_loop(ccfg, grid, atmos, state, dt, n, comm=None):
+    def body(_, s):
+        return coupled_time_step(ccfg, grid, atmos, s, dt, comm)
+
+    return jax.lax.fori_loop(0, n, body, state)
+
+
+def data_free_ocean_climate_model(resolution=2.0, Nz=20, dtype=jnp.float32,
+                                  closure="catke", grid_type="gaussian_islands"):
+    """Reference: data_free_ocean_climate_model_init (resolution=2, Nz=20),
+    gaussian-islands bathymetry, analytic atmosphere, CATKE ocean defaults."""
+    from gb25_tpu.grids import resolution_to_points, simple_latitude_longitude_grid
+    from gb25_tpu.grids.immersed import gaussian_islands_bottom
+    from gb25_tpu.models.atmosphere import data_free_atmosphere
+    from gb25_tpu.models.baroclinic import baroclinic_instability_config, smooth_step
+    from gb25_tpu.models.state import initial_state
+
+    Nx, Ny = resolution_to_points(resolution)
+    grid = simple_latitude_longitude_grid(Nx, Ny, Nz, dtype=dtype)
+    if grid_type == "gaussian_islands":
+        grid = gaussian_islands_bottom(grid)
+
+    closure_obj = CATKEVerticalDiffusivity() if closure == "catke" else None
+    ocean_cfg = baroclinic_instability_config(
+        free_surface=SplitExplicitFreeSurface(substeps=30), closure=closure_obj
+    )
+    ccfg = CoupledConfig(ocean=ocean_cfg)
+
+    state = initial_state(grid, ocean_cfg.tracers, dtype)
+    phi = grid.phi_c_i.reshape(1, -1, 1).astype(dtype)
+    z = grid.z_c_i.reshape(1, 1, -1).astype(dtype)
+    # reference T/S init (model_utils.jl:89-97, sans noise)
+    T = jnp.broadcast_to((30.0 + 1e-3 * z) * smooth_step(phi), grid.shape)
+    S = jnp.broadcast_to(-5e-3 * z + 0.0 * phi, grid.shape)
+    tr = dict(state.tracers)
+    tr["T"], tr["S"] = T.astype(dtype), S.astype(dtype)
+    if "e" in tr:
+        tr["e"] = jnp.full(grid.shape, 1e-6, dtype)
+    state = state.replace(tracers=tr)
+
+    atmos = data_free_atmosphere(grid, dtype=dtype)
+    return ccfg, grid, atmos, state

@@ -77,8 +77,14 @@ def buoyancy_field(cfg, grid, tracers_e):
     return cfg.eos.buoyancy(tracers_e["T"], tracers_e["S"], grid.z_c)
 
 
-def compute_tendencies(cfg, grid, state, comm=None):
-    """Stages 1-5: returns interior tendency arrays (Gu, Gv, Geta, {Gc})."""
+def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
+    """Stages 1-5: returns interior tendency arrays (Gu, Gv, Geta, {Gc}).
+
+    ``surface_fluxes``: optional dict of 2-D (Nx, Ny) kinematic surface fluxes
+    {"u", "v", "T", "S", ...} (units: field-units * m/s, positive into the
+    ocean) deposited into the top cell — the coupling interface used by the
+    ocean-atmosphere model (reference: ComponentInterfaces flux application).
+    """
     # -- stage 2: halo fill (prognostic) --
     ue = extend_field(grid, state.u, "u", comm)
     ve = extend_field(grid, state.v, "v", comm)
@@ -185,6 +191,21 @@ def compute_tendencies(cfg, grid, state, comm=None):
 
     Gu = grid.interior(Gu)
     Gv = grid.interior(Gv)
+
+    if surface_fluxes is not None:
+        hz, Nz = grid.hz, grid.Nz
+        dz_top = grid.dz_c[0, 0, hz + Nz - 1]
+        for name, flux in surface_fluxes.items():
+            add = (flux / dz_top)[:, :, None]
+            pad = jnp.zeros_like(Gu[:, :, :-1])
+            inc = jnp.concatenate([pad, add], axis=2)
+            if name == "u":
+                Gu = Gu + inc
+            elif name == "v":
+                Gv = Gv + inc
+            else:
+                Gtr[name] = Gtr[name] + inc
+
     if grid.immersed:
         Gu = Gu * grid.interior(u_mask_e)
         Gv = Gv * grid.interior(v_mask_e)
@@ -200,11 +221,14 @@ def _ab2_coeffs(cfg, state, dtype):
     return c1, c2
 
 
-def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=None):
+def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=None,
+              surface_fluxes=None):
     """One full quasi-AB2 hydrostatic time step (stages 1-8). Pure function."""
     dtype = state.u.dtype
     dt = jnp.asarray(dt, dtype)
-    Gu, Gv, Geta, Gtr, diffusivities = compute_tendencies(cfg, grid, state, comm)
+    Gu, Gv, Geta, Gtr, diffusivities = compute_tendencies(
+        cfg, grid, state, comm, surface_fluxes
+    )
     c1, c2 = _ab2_coeffs(cfg, state, dtype)
 
     Gu_ab = c1 * Gu + c2 * state.Gu

@@ -32,6 +32,10 @@ def localize_grid(grid, comm, nx_local: int, ny_local: int):
             return lax.dynamic_slice(a, (z0, iy, z0), (1, ny_local + 2 * hy, 1))
         return lax.dynamic_slice(a, (ix, iy, z0), (nx_local + 2 * hx, ny_local + 2 * hy, 1))
 
+    return _replace_grid(grid, nx_local, ny_local, loc_x1d, loc_y1d, loc_xy3d, ix, iy)
+
+
+def _replace_grid(grid, nx_local, ny_local, loc_x1d, loc_y1d, loc_xy3d, ix, iy):
     return dataclasses.replace(
         grid,
         Nx=nx_local,
@@ -47,4 +51,23 @@ def localize_grid(grid, comm, nx_local: int, ny_local: int):
         azc=loc_xy3d(grid.azc),
         azf=loc_xy3d(grid.azf),
         bottom_height=lax.dynamic_slice(grid.bottom_height, (ix, iy), (nx_local, ny_local)),
+    )
+
+
+def localize_atmosphere(atmos, comm, nx_local: int, ny_local: int):
+    """Slice a PrescribedAtmosphere's regrid plan to the local ocean tile.
+
+    The atmosphere *fields* stay replicated (they live on the atmosphere's own
+    grid); only the destination-shaped gather indices/weights are sliced.
+    """
+    ix = jnp.asarray(comm.x_offset(nx_local), jnp.int32)
+    iy = jnp.asarray(comm.y_offset(ny_local), jnp.int32)
+
+    def loc(a):
+        return lax.dynamic_slice(a, (ix, iy), (nx_local, ny_local))
+
+    return dataclasses.replace(
+        atmos,
+        ix0=loc(atmos.ix0), ix1=loc(atmos.ix1), wx=loc(atmos.wx),
+        iy0=loc(atmos.iy0), iy1=loc(atmos.iy1), wy=loc(atmos.wy),
     )

@@ -94,3 +94,39 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None):
         return _local_step(state, dt, grid)
 
     return jax.jit(fn)
+
+
+def sharded_coupled_step_fn(ccfg, grid, atmos, mesh, n_inner: int | None = None):
+    """Jitted sharded coupled (ocean-atmosphere) step: ``fn(state, dt) -> state``."""
+    from gb25_tpu.models.coupled import coupled_loop, coupled_time_step
+    from gb25_tpu.models.state import initial_state
+    from gb25_tpu.parallel.localize import localize_atmosphere
+
+    comm = make_comm(mesh)
+    Rx, Ry = mesh.shape["x"], mesh.shape["y"]
+    if grid.Nx % Rx or grid.Ny % Ry:
+        raise ValueError(f"grid {grid.Nx}x{grid.Ny} not divisible by mesh {Rx}x{Ry}")
+    nxl, nyl = grid.Nx // Rx, grid.Ny // Ry
+
+    proto = initial_state(grid, tracers=ccfg.ocean.tracers, dtype=grid.dtype)
+    sspec = _state_specs(proto)
+    gspec = _grid_specs(grid)
+    aspec = jax.tree_util.tree_map(lambda _: P(), atmos)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(sspec, P(), gspec, aspec),
+        out_specs=sspec,
+    )
+    def _local_step(state, dt, gridrep, atmosrep):
+        lgrid = localize_grid(gridrep, comm, nxl, nyl)
+        latmos = localize_atmosphere(atmosrep, comm, nxl, nyl)
+        if n_inner is None:
+            return coupled_time_step(ccfg, lgrid, latmos, state, dt, comm)
+        return coupled_loop(ccfg, lgrid, latmos, state, dt, n_inner, comm)
+
+    def fn(state, dt):
+        return _local_step(state, dt, grid, atmos)
+
+    return jax.jit(fn)
