@@ -32,14 +32,21 @@ def with_bathymetry(grid, bottom_height):
     assert bh.shape == (grid.Nx, grid.Ny)
     zbot = float(grid.z_f_i[0])
     bh = jnp.clip(bh, zbot, 0.0)
+    if grid.immersed:
+        # preserve pre-existing land (e.g. tripolar pole caps)
+        bh = jnp.maximum(bh, grid.bottom_height)
     return dataclasses.replace(grid, bottom_height=bh, immersed=True)
 
 
 def gaussian_islands_bottom(grid):
     """The reference's two Gaussian islands (model_utils.jl:67-80,139-141):
     bottom = zb + h * (mtn1 + mtn2), zb = deepest z face, h = -zb + 100."""
-    lam = np.asarray(grid.lam_c_i)[:, None]
-    phi = np.asarray(grid.phi_c_i)[None, :]
+    if getattr(grid, "lam2_c", None) is not None:
+        lam = np.asarray(grid.lam2_c)
+        phi = np.asarray(grid.phi2_c)
+    else:
+        lam = np.asarray(grid.lam_c_i)[:, None]
+        phi = np.asarray(grid.phi_c_i)[None, :]
     zb = float(grid.z_f_i[0])
     h = -zb + 100.0
 

@@ -61,7 +61,12 @@ def baroclinic_instability_state(
     dtype = dtype or grid.dtype
     state = initial_state(grid, tracers=tracers, dtype=dtype)
 
-    phi = grid.phi_c_i.reshape(1, -1, 1).astype(dtype)
+    # curvilinear grids carry true 2-D latitudes; lat-lon grids a 1-D profile
+    phi2 = getattr(grid, "phi2_c", None)
+    if phi2 is not None:
+        phi = phi2[:, :, None].astype(dtype)
+    else:
+        phi = grid.phi_c_i.reshape(1, -1, 1).astype(dtype)
     z = grid.z_c_i.reshape(1, 1, -1).astype(dtype)
     shape = grid.shape
 

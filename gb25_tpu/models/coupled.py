@@ -26,7 +26,7 @@ from gb25_tpu.models.catke import CATKEVerticalDiffusivity
 from gb25_tpu.models.config import HydrostaticConfig, SplitExplicitFreeSurface, static_pytree
 from gb25_tpu.models.fluxes import Radiation, SimilarityTheoryFluxes, radiative_fluxes, similarity_fluxes
 from gb25_tpu.models.hydrostatic import time_step
-from gb25_tpu.ops.halos import FIELD_BCS, extend_axis
+from gb25_tpu.ops.halos import extend2
 from gb25_tpu.ops.stencils import i_f, i_c
 
 
@@ -43,11 +43,7 @@ class CoupledConfig:
 
 
 def _extend2(grid, a, kind, comm):
-    (xlo, xhi), (ylo, yhi), _ = FIELD_BCS[kind]
-    if comm is not None:
-        return comm.extend_xy(a, 1, 1, (xlo, xhi), (ylo, yhi))
-    a = extend_axis(a, 1, 0, xlo, xhi)
-    return extend_axis(a, 1, 1, ylo, yhi)
+    return extend2(grid, a, kind, comm, h=1)
 
 
 def _crop2(grid, a):

@@ -43,16 +43,11 @@ def averaging_weights(substeps: int, kind: str = "parabolic") -> np.ndarray:
     return w / w.sum()
 
 
-def _extend2(grid, a, kind, comm, h=1):
-    """Extend a 2-D (Nx, Ny) field with halo width h (local BCs or ppermute)."""
-    from gb25_tpu.ops.halos import FIELD_BCS
+from gb25_tpu.ops.halos import extend2 as _extend2_impl
 
-    (xlo, xhi), (ylo, yhi), _ = FIELD_BCS[kind]
-    if comm is not None:
-        return comm.extend_xy(a, h, h, (xlo, xhi), (ylo, yhi))
-    a = extend_axis(a, h, 0, xlo, xhi)
-    a = extend_axis(a, h, 1, ylo, yhi)
-    return a
+
+def _extend2(grid, a, kind, comm, h=1):
+    return _extend2_impl(grid, a, kind, comm, h)
 
 
 def _crop2(grid, a, h=1):
@@ -60,15 +55,16 @@ def _crop2(grid, a, h=1):
 
 
 def _metrics2(grid, h=1):
-    """2-D metric slices with halo width h (grid metrics carry width hx/hy)."""
+    """2-D metric slices with halo width h (grid metrics carry width hx/hy).
+    Lat-lon metrics are (1, Ny+2hy, 1); tripolar metrics are fully 2-D."""
     hx, hy = grid.hx, grid.hy
-    sl = slice(hy - h, hy + grid.Ny + h)
-    dyc = grid.dyc[:, sl, 0]
-    dyf = grid.dyf[:, sl, 0]
-    dxf = grid.dxf[:, sl, 0]
-    dxc = grid.dxc[:, sl, 0]
-    azc = grid.azc[:, sl, 0]
-    return dxc, dxf, dyc, dyf, azc
+    sly = slice(hy - h, hy + grid.Ny + h)
+
+    def sl2(m):
+        slx = slice(hx - h, hx + grid.Nx + h) if m.shape[0] > 1 else slice(None)
+        return m[slx, sly, 0]
+
+    return sl2(grid.dxc), sl2(grid.dxf), sl2(grid.dyc), sl2(grid.dyf), sl2(grid.azc)
 
 
 def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=None):

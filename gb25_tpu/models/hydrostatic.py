@@ -248,6 +248,12 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
 
     v_new = mask_v_wall(grid, v_new, comm)
 
+    if getattr(grid, "north_fold", False):
+        # enforce the T-pivot seam self-consistency (NEMO lbc_lnk analog)
+        from gb25_tpu.grids.tripolar import north_fold_projection
+
+        u_new, v_new, eta, tracers = north_fold_projection(grid, u_new, v_new, eta, tracers)
+
     if grid.immersed:
         # re-mask after the barotropic correction touched full columns
         from gb25_tpu.grids.immersed import interior_masks

@@ -106,7 +106,13 @@ def extend_field(grid, a, kind: str, comm=None):
     x/y ghost construction for ppermute exchanges (same z handling).
     """
     (xlo, xhi), (ylo, yhi), (zlo, zhi) = FIELD_BCS[kind]
-    if comm is not None:
+    if getattr(grid, "north_fold", False):
+        if comm is not None:
+            raise NotImplementedError("distributed tripolar north fold: round 2")
+        from gb25_tpu.grids.tripolar import extend_field_tripolar
+
+        a = extend_field_tripolar(grid, a, kind, grid.hx, grid.hy)
+    elif comm is not None:
         a = comm.extend_xy(a, grid.hx, grid.hy, (xlo, xhi), (ylo, yhi))
     else:
         a = extend_axis(a, grid.hx, 0, xlo, xhi)
@@ -115,9 +121,32 @@ def extend_field(grid, a, kind: str, comm=None):
     return a
 
 
+def extend2(grid, a, kind: str, comm=None, h: int = 1):
+    """Extend a 2-D field with an arbitrary (small) halo width ``h`` — used by
+    the barotropic substep loop, which only needs width-1 halos per substep."""
+    (xlo, xhi), (ylo, yhi), _ = FIELD_BCS[kind]
+    if getattr(grid, "north_fold", False):
+        if comm is not None:
+            raise NotImplementedError("distributed tripolar north fold: round 2")
+        from gb25_tpu.grids.tripolar import extend_field_tripolar
+
+        return extend_field_tripolar(grid, a, kind, h, h)
+    if comm is not None:
+        return comm.extend_xy(a, h, h, (xlo, xhi), (ylo, yhi))
+    a = extend_axis(a, h, 0, xlo, xhi)
+    a = extend_axis(a, h, 1, ylo, yhi)
+    return a
+
+
 def extend_field_xy(grid, a, kind: str, comm=None):
     """Extend a 2-D ``(Nx, Ny)`` field (e.g. free surface) in x and y only."""
     (xlo, xhi), (ylo, yhi), _ = FIELD_BCS[kind]
+    if getattr(grid, "north_fold", False):
+        if comm is not None:
+            raise NotImplementedError("distributed tripolar north fold: round 2")
+        from gb25_tpu.grids.tripolar import extend_field_tripolar
+
+        return extend_field_tripolar(grid, a, kind, grid.hx, grid.hy)
     if comm is not None:
         return comm.extend_xy(a, grid.hx, grid.hy, (xlo, xhi), (ylo, yhi))
     a = extend_axis(a, grid.hx, 0, xlo, xhi)

@@ -91,6 +91,12 @@ def barotropic_transport(grid, u, v):
 
 
 def coriolis_ff(grid, omega):
-    """Planetary vorticity f = 2 Omega sin(phi) at corner points (f,f)."""
+    """Planetary vorticity f = 2 Omega sin(phi) at corner points (f,f).
+
+    Lat-lon grids carry 1-D face latitudes; curvilinear (tripolar) grids
+    provide the 2-D corner latitude ``phi2_ff`` (already halo-extended)."""
+    phi2 = getattr(grid, "phi2_ff", None)
+    if phi2 is not None:
+        return (2.0 * omega * jnp.sin(jnp.deg2rad(phi2))).astype(grid.dtype)
     f = 2.0 * omega * jnp.sin(jnp.deg2rad(grid.phi_f))
     return f.reshape(1, -1, 1).astype(grid.dtype)
