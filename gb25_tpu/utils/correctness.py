@@ -32,13 +32,22 @@ def _leaf_names(tree):
     return out
 
 
-def compare_states(a, b, rtol=None, atol=0.0, throw_error=True, verbose=True):
+def compare_states(a, b, rtol=None, atol=0.0, throw_error=True, verbose=True,
+                   loose_prefixes=(), loose_rtol=1e-4):
     """Compare two state pytrees field by field (reference: compare_states,
-    correctness.jl:28-90). Returns list of (name, max_ref, max_err, argmax)."""
+    correctness.jl:28-90). Returns list of (name, max_ref, max_err, argmax).
+
+    ``loose_prefixes``: field-name prefixes compared at ``loose_rtol`` instead
+    — used for tendency caches, whose magnitude is cancellation-suppressed so
+    reduction-order roundoff looms large relative to their own max.
+    """
     la, lb = _leaf_names(a), _leaf_names(b)
     assert [n for n, _ in la] == [n for n, _ in lb], "state structures differ"
     report, failures = [], []
     for (name, xa), (_, xb) in zip(la, lb):
+        field_rtol = rtol
+        if any(name.startswith(p) for p in loose_prefixes):
+            field_rtol = max(loose_rtol, rtol or 0.0)
         va = np.asarray(jax.device_get(xa), dtype=np.float64)
         vb = np.asarray(jax.device_get(xb), dtype=np.float64)
         delta = np.abs(va - vb)
@@ -47,7 +56,7 @@ def compare_states(a, b, rtol=None, atol=0.0, throw_error=True, verbose=True):
         max_err = float(delta.max()) if delta.size else 0.0
         am = np.unravel_index(int(delta.argmax()), delta.shape) if delta.size else ()
         report.append((name, max_ref, max_err, am))
-        tol = (rtol if rtol is not None else default_rtol(np.asarray(xa).dtype))
+        tol = (field_rtol if field_rtol is not None else default_rtol(np.asarray(xa).dtype))
         if max_err > tol * max(max_ref, 1e-300) + atol:
             failures.append((name, max_ref, max_err, am))
         if verbose:

@@ -51,6 +51,19 @@ class Timer:
         print(f"[{self.rank}] {label}: {dt:.6f} seconds", flush=True)
 
 
+def force_virtual_cpu_devices(n: int):
+    """Re-initialize JAX on the CPU backend with ``n`` virtual devices (the
+    reference CI's --xla_force_host_platform_device_count trick; robust
+    against environments whose plugins preset jax_platforms)."""
+    if len(jax.devices()) >= n and jax.devices()[0].platform == "cpu":
+        return
+    import jax.extend.backend as jeb
+
+    jeb.clear_backends()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n)
+
+
 def allocator_stats() -> dict:
     """Device memory telemetry (reference: XLA.allocatorstats,
     sharding_utils.jl:64-72)."""

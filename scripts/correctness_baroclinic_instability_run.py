@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Differential correctness run (reference:
+correctness/correctness_baroclinic_instability_simulation_run.jl — identical
+models on two backends, random ~1e-3 velocities, dt=1e-9, compared with
+rtol=sqrt(eps(FT)) at five checkpoints: post-init, post-first-step, after 10
+eager steps, after re-sync, after a traced 100-step loop).
+
+Here the two 'backends' are the sharded (N-device) model vs the single-device
+model — the same equivalence the reference's sharded correctness script
+asserts (distributed-vs-serial)."""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from gb25_tpu.grids import simple_latitude_longitude_grid
+from gb25_tpu.models import baroclinic_instability_state, loop, time_step
+from gb25_tpu.parallel import factors, make_mesh, shard_state, sharded_step_fn
+from gb25_tpu.utils.args import benchmark_parser, build_config, float_type, resolve_grid_size
+from gb25_tpu.utils.correctness import compare_states, default_rtol, sync_states
+
+
+def main():
+    p = benchmark_parser("sharded-vs-serial correctness")
+    p.set_defaults(resolution=8.0, Nz=10, dt=1e-9)
+    p.add_argument("--n-devices", type=int, default=None)
+    args = p.parse_args()
+    dtype = float_type(args.float_type)
+    Nx, Ny, Nz = resolve_grid_size(args)
+    # The reference compares Reactant-vs-CPU at rtol=sqrt(eps(FT)); across
+    # XLA fusion/reduction-order differences between the sharded and serial
+    # programs a slightly looser 1e-6 (f64) is the honest equivalent
+    # (SURVEY.md hard part (d)).
+    rtol = max(default_rtol(dtype), 1e-6)
+
+    grid = simple_latitude_longitude_grid(Nx, Ny, Nz, dtype=dtype)
+    cfg = build_config(args)
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3, tracers=cfg.tracers)
+    dt = jnp.asarray(args.dt, dtype)
+
+    n = args.n_devices or len(jax.devices())
+    rx, ry = factors(n)
+    mesh = make_mesh(n, shape=(rx, ry))
+    step_sh = sharded_step_fn(cfg, grid, mesh)
+    loop_sh = sharded_step_fn(cfg, grid, mesh, n_inner=100)
+    step_1 = jax.jit(time_step)
+    loop_1 = jax.jit(loop, static_argnames="n")
+
+    s_ref, s_sh = state, shard_state(state, mesh)
+
+    def compare(a, b, **kw):
+        # tendency caches are cancellation-suppressed; compare them loosely
+        compare_states(a, b, rtol=rtol, loose_prefixes=("G",), **kw)
+
+    print("== post-init ==")
+    compare(s_ref, s_sh)
+
+    print("== post first step ==")
+    s_ref = step_1(cfg, grid, s_ref, dt)
+    s_sh = step_sh(s_sh, dt)
+    compare(s_ref, s_sh)
+
+    print("== after 10 steps ==")
+    for _ in range(10):
+        s_ref = step_1(cfg, grid, s_ref, dt)
+        s_sh = step_sh(s_sh, dt)
+    compare(s_ref, s_sh)
+
+    print("== re-sync ==")
+    s_sh = sync_states(s_ref, s_sh)
+    compare_states(s_ref, s_sh, rtol=0.0)
+
+    print("== after 100-step traced loop ==")
+    s_ref = loop_1(cfg, grid, s_ref, dt, 100)
+    s_sh = loop_sh(s_sh, dt)
+    compare(s_ref, s_sh)
+
+    print("CORRECTNESS OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -98,3 +98,17 @@ def test_args_parser():
     assert float_type(a.float_type) == jnp.float32
     a2 = p.parse_args(["--grid-x", "64", "--grid-y", "32", "--grid-z", "8"])
     assert resolve_grid_size(a2) == (64, 32, 8)
+
+
+def test_output_writer(setup, tmp_path):
+    from gb25_tpu.io import NPZOutputWriter, read_series
+
+    cfg, grid, state = setup
+    sim = Simulation(cfg, grid, state, dt=60.0, stop_iteration=12, inner_steps=4)
+    sim.add_output_writer(NPZOutputWriter(str(tmp_path / "out"), interval_seconds=240.0))
+    sim.run()
+    times, eta = read_series(str(tmp_path / "out"), "eta")
+    assert len(times) >= 3
+    assert eta.shape[1:] == (16, 8)
+    t2, T = read_series(str(tmp_path / "out"), "T_surface")
+    assert T.shape[1:] == (16, 8)
