@@ -88,6 +88,10 @@ class HydrostaticConfig:
     closure: object = None  # VerticalScalarDiffusivity | CATKE | None
     chi: float = 0.1  # quasi-AB2 parameter (Euler first step)
     weno_eps: float = 1e-6
+    # tendency backend: "auto" uses the fused Pallas mega-kernel on TPU when
+    # the configuration supports it, else XLA array ops; "jnp" forces the
+    # array-op path; "pallas" forces the kernel (errors if unsupported)
+    kernels: str = "auto"
 
     @property
     def g(self):

@@ -77,56 +77,22 @@ def buoyancy_field(cfg, grid, tracers_e):
     return cfg.eos.buoyancy(tracers_e["T"], tracers_e["S"], grid.z_c)
 
 
-def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
-    """Stages 1-5: returns interior tendency arrays (Gu, Gv, Geta, {Gc}).
+def tendency_math(cfg, grid, f_ff, ue, ve, tr_e):
+    """Stages 3+5 physics on halo-extended arrays -> extended tendencies.
 
-    ``surface_fluxes``: optional dict of 2-D (Nx, Ny) kinematic surface fluxes
-    {"u", "v", "T", "S", ...} (units: field-units * m/s, positive into the
-    ocean) deposited into the top cell — the coupling interface used by the
-    ocean-atmosphere model (reference: ComponentInterfaces flux application).
+    Pure function of extended arrays + (possibly tile-local) grid metrics.
+    This exact code runs both as XLA array ops on whole (local) domains and
+    inside the Pallas mega-kernel on VMEM tiles (ops/pallas_tendency.py),
+    which is what guarantees the two backends agree.
     """
-    # -- stage 2: halo fill (prognostic) --
-    ue = extend_field(grid, state.u, "u", comm)
-    ve = extend_field(grid, state.v, "v", comm)
-    tr_e = {k: extend_field(grid, c, "c", comm) for k, c in state.tracers.items()}
+    eps = cfg.weno_eps
 
-    # -- stage 1: immersed masking (reference: mask_immersed_model_fields!,
-    # precompile.jl:34) — zero face velocities on solid faces so every flux
-    # through the bathymetry vanishes --
-    if grid.immersed:
-        from gb25_tpu.grids.immersed import immersed_masks
-
-        _, u_mask_e, v_mask_e = immersed_masks(grid, comm)
-        ue = ue * u_mask_e
-        ve = ve * v_mask_e
-    else:
-        u_mask_e = v_mask_e = None
-
-    # -- stage 3: auxiliaries --
+    # auxiliaries: w from continuity, buoyancy, hydrostatic pressure
     we = diagnose_w(grid, ue, ve)
     be = buoyancy_field(cfg, grid, tr_e)
     pe = hydrostatic_pressure(grid, be)
 
-    from gb25_tpu.models.catke import CATKEVerticalDiffusivity, catke_diffusivities
-
-    diffusivities = None
-    G_e_source = None
-    if isinstance(cfg.closure, CATKEVerticalDiffusivity):
-        kap_u_e, kap_c_e, kap_e_e, G_e_ext = catke_diffusivities(
-            cfg.closure, grid, ue, ve, be, tr_e["e"]
-        )
-        diffusivities = {
-            "kappa_u": grid.interior(kap_u_e),
-            "kappa_c": grid.interior(kap_c_e),
-            "kappa_e": grid.interior(kap_e_e),
-        }
-        G_e_source = grid.interior(G_e_ext)
-
-    dtype = state.u.dtype
-    eps = cfg.weno_eps
-
-    # -- stage 5: momentum tendencies (vector-invariant) --
-    f_ff = coriolis_ff(grid, cfg.coriolis).astype(dtype)
+    # momentum: upwinded vector-invariant scheme
     q = jnp.broadcast_to(f_ff, ue.shape)
     if cfg.momentum_advection in ("weno_vector_invariant", "vector_invariant"):
         q = q + vertical_vorticity(grid, ue, ve)
@@ -158,22 +124,11 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
     Gu = Gu - dx_f(pe) / grid.dxc
     Gv = Gv - dy_f(pe) / grid.dyf
 
-    # explicit free surface: barotropic pressure gradient in the slow tendency
-    if isinstance(cfg.free_surface, ExplicitFreeSurface):
-        g = cfg.free_surface.gravitational_acceleration
-        hx, hy = grid.hx, grid.hy
-        etae = extend_field_xy(grid, state.eta, "c", comm)[:, :, None]
-        Gu = Gu - g * dx_f(etae) / grid.dxc
-        Gv = Gv - g * dy_f(etae) / grid.dyf
-        Geta = explicit_eta_tendency(grid, ue, ve)[hx : hx + grid.Nx, hy : hy + grid.Ny]
-    else:
-        Geta = jnp.zeros_like(state.eta)
-
-    # -- tracer tendencies (flux-form advection) --
+    # tracers: flux-form advection
     Gtr = {}
     for name, ce in tr_e.items():
         if cfg.tracer_advection == "none":
-            Gtr[name] = jnp.zeros_like(state.tracers[name])
+            Gtr[name] = jnp.zeros_like(ce)
             continue
         if cfg.tracer_advection == "weno5":
             cx = weno5_upwind(ce, ue, "x", eps=eps)
@@ -185,12 +140,83 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
             cx, cy, cz = upwind1(ce, ue, "x"), upwind1(ce, ve, "y"), upwind1(ce, we, "z")
         Gc = -(dx_c(ue * grid.dyc * cx) + dy_c(ve * grid.dxf * cy)) / grid.azc
         Gc = Gc - dz_c(we * cz) / grid.dz_c
-        Gtr[name] = grid.interior(Gc)
+        Gtr[name] = Gc
+    return Gu, Gv, Gtr
+
+
+def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
+    """Stages 1-5: returns interior tendency arrays (Gu, Gv, Geta, {Gc}).
+
+    ``surface_fluxes``: optional dict of 2-D (Nx, Ny) kinematic surface fluxes
+    {"u", "v", "T", "S", ...} (units: field-units * m/s, positive into the
+    ocean) deposited into the top cell — the coupling interface used by the
+    ocean-atmosphere model (reference: ComponentInterfaces flux application).
+    """
+    # -- stage 2: halo fill (prognostic) --
+    ue = extend_field(grid, state.u, "u", comm)
+    ve = extend_field(grid, state.v, "v", comm)
+    tr_e = {k: extend_field(grid, c, "c", comm) for k, c in state.tracers.items()}
+
+    # -- stage 1: immersed masking (reference: mask_immersed_model_fields!,
+    # precompile.jl:34) — zero face velocities on solid faces so every flux
+    # through the bathymetry vanishes --
+    if grid.immersed:
+        from gb25_tpu.grids.immersed import immersed_masks
+
+        _, u_mask_e, v_mask_e = immersed_masks(grid, comm)
+        ue = ue * u_mask_e
+        ve = ve * v_mask_e
+    else:
+        u_mask_e = v_mask_e = None
+
+    from gb25_tpu.models.catke import CATKEVerticalDiffusivity, catke_diffusivities
+
+    dtype = state.u.dtype
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(dtype)
+
+    diffusivities = None
+    G_e_source = None
+    if isinstance(cfg.closure, CATKEVerticalDiffusivity):
+        be = buoyancy_field(cfg, grid, tr_e)
+        kap_u_e, kap_c_e, kap_e_e, G_e_ext = catke_diffusivities(
+            cfg.closure, grid, ue, ve, be, tr_e["e"]
+        )
+        diffusivities = {
+            "kappa_u": grid.interior(kap_u_e),
+            "kappa_c": grid.interior(kap_c_e),
+            "kappa_e": grid.interior(kap_e_e),
+        }
+        G_e_source = grid.interior(G_e_ext)
+
+    # -- stages 3+5: auxiliaries + tendencies, either as one fused Pallas
+    # mega-kernel (TPU fast path) or as XLA-fused array ops --
+    from gb25_tpu.ops.pallas_tendency import pallas_supported, pallas_tendencies
+
+    if cfg.kernels == "pallas" or (cfg.kernels == "auto" and pallas_supported(cfg, grid, ue)):
+        Gu, Gv, Gtr = pallas_tendencies(cfg, grid, f_ff, ue, ve, tr_e)
+    else:
+        Gu_e, Gv_e, Gtr_e = tendency_math(cfg, grid, f_ff, ue, ve, tr_e)
+        Gu = grid.interior(Gu_e)
+        Gv = grid.interior(Gv_e)
+        Gtr = {k: grid.interior(v) for k, v in Gtr_e.items()}
+
+    # explicit free surface: barotropic pressure gradient in the slow tendency
+    if isinstance(cfg.free_surface, ExplicitFreeSurface):
+        g = cfg.free_surface.gravitational_acceleration
+        hx, hy = grid.hx, grid.hy
+        etae = extend_field_xy(grid, state.eta, "c", comm)[:, :, None]
+        Gu = Gu + grid.interior(
+            jnp.broadcast_to(-g * dx_f(etae) / grid.dxc, ue.shape)
+        )
+        Gv = Gv + grid.interior(
+            jnp.broadcast_to(-g * dy_f(etae) / grid.dyf, ve.shape)
+        )
+        Geta = explicit_eta_tendency(grid, ue, ve)[hx : hx + grid.Nx, hy : hy + grid.Ny]
+    else:
+        Geta = jnp.zeros_like(state.eta)
+
     if G_e_source is not None:
         Gtr["e"] = Gtr["e"] + G_e_source
-
-    Gu = grid.interior(Gu)
-    Gv = grid.interior(Gv)
 
     if surface_fluxes is not None:
         hz, Nz = grid.hz, grid.Nz

@@ -112,13 +112,33 @@ def extend_field(grid, a, kind: str, comm=None):
         from gb25_tpu.grids.tripolar import extend_field_tripolar
 
         a = extend_field_tripolar(grid, a, kind, grid.hx, grid.hy)
-    elif comm is not None:
+        return extend_axis(a, grid.hz, 2, zlo, zhi)
+    if comm is not None:
         a = comm.extend_xy(a, grid.hx, grid.hy, (xlo, xhi), (ylo, yhi))
-    else:
-        a = extend_axis(a, grid.hx, 0, xlo, xhi)
-        a = extend_axis(a, grid.hy, 1, ylo, yhi)
-    a = extend_axis(a, grid.hz, 2, zlo, zhi)
-    return a
+        return extend_axis(a, grid.hz, 2, zlo, zhi)
+    return _extend_3d_fast(a, grid.halo, (xlo, xhi), (ylo, yhi), (zlo, zhi))
+
+
+def _extend_3d_fast(a, halo, xmodes, ymodes, zmodes):
+    """Single-device 3-D extension as ONE pad (one materialization) plus thin
+    ghost-slab writes (XLA performs the updates in place), instead of three
+    concat chains — ~3x less memory traffic on the hot path."""
+    hx, hy, hz = halo
+    Nx, Ny, Nz = a.shape
+    e = jnp.pad(a, ((hx, hx), (hy, hy), (hz, hz)))
+    if hx:
+        lo, hi = ghost_blocks(e[hx : hx + Nx], hx, 0, *xmodes)
+        e = e.at[:hx].set(lo)
+        e = e.at[hx + Nx :].set(hi)
+    if hy:
+        lo, hi = ghost_blocks(e[:, hy : hy + Ny], hy, 1, *ymodes)
+        e = e.at[:, :hy].set(lo)
+        e = e.at[:, hy + Ny :].set(hi)
+    if hz:
+        lo, hi = ghost_blocks(e[:, :, hz : hz + Nz], hz, 2, *zmodes)
+        e = e.at[:, :, :hz].set(lo)
+        e = e.at[:, :, hz + Nz :].set(hi)
+    return e
 
 
 def extend2(grid, a, kind: str, comm=None, h: int = 1):

@@ -41,6 +41,16 @@ def kinetic_energy(u, v):
     return 0.5 * (ix_c(u * u) + iy_c(v * v))
 
 
+def _zcumsum(grid, a):
+    """Inclusive cumulative sum along z; inside Pallas kernels (no cumsum
+    lowering) this becomes a triangular-matrix MXU contraction."""
+    if getattr(grid, "in_kernel", False):
+        from gb25_tpu.ops.pallas_tendency import kernel_cumsum
+
+        return kernel_cumsum(a, inclusive=True)
+    return jnp.cumsum(a, axis=2)
+
+
 def diagnose_w(grid, u, v):
     """Vertical velocity at z-faces from continuity: dw/dz = -del_h.(u,v).
 
@@ -53,13 +63,13 @@ def diagnose_w(grid, u, v):
     div = horizontal_divergence(grid, u, v)  # extended; z-ghosts garbage
     div_int = div[:, :, hz : hz + Nz] * grid.dz_c[:, :, hz : hz + Nz]
     # w at bottom face of interior cell k: -(sum of div*dz below k)
-    wcum = jnp.cumsum(div_int, axis=2)
+    wcum = _zcumsum(grid, div_int)
     w_int = jnp.concatenate([jnp.zeros_like(wcum[:, :, :1]), -wcum[:, :, :-1]], axis=2)
     w_top = -wcum[:, :, -1:]  # w at the surface face (= d(eta)/dt forcing)
     # re-extend in z: zeros below bottom; surface value then zero-gradient above
-    below = jnp.zeros_like(w_int[:, :, :1]).repeat(hz, axis=2)
-    above = jnp.repeat(w_top, hz, axis=2)
-    return jnp.concatenate([below, w_int, above], axis=2)
+    below = [jnp.zeros_like(w_int[:, :, :1])] * hz
+    above = [w_top] * hz
+    return jnp.concatenate(below + [w_int] + above, axis=2)
 
 
 def hydrostatic_pressure(grid, b):
@@ -74,11 +84,11 @@ def hydrostatic_pressure(grid, b):
     bdz = b[:, :, hz : hz + Nz] * grid.dz_c[:, :, hz : hz + Nz]
     # reversed cumulative sum excluding own layer + half own layer
     total = jnp.sum(bdz, axis=2, keepdims=True)
-    csum = jnp.cumsum(bdz, axis=2)
+    csum = _zcumsum(grid, bdz)
     p_int = total - csum + 0.5 * bdz
-    below = jnp.repeat(p_int[:, :, :1], hz, axis=2)
-    above = jnp.repeat(p_int[:, :, -1:], hz, axis=2)
-    return jnp.concatenate([below, p_int, above], axis=2)
+    below = [p_int[:, :, :1]] * hz
+    above = [p_int[:, :, -1:]] * hz
+    return jnp.concatenate(below + [p_int] + above, axis=2)
 
 
 def barotropic_transport(grid, u, v):

@@ -1,0 +1,52 @@
+"""Differential test: the fused Pallas tendency kernel (interpret mode on
+CPU) vs the XLA array-op backend. Both call the same tendency_math, so any
+disagreement is a tiling/indexing bug in the kernel plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gb25_tpu.grids import simple_latitude_longitude_grid
+from gb25_tpu.models import baroclinic_instability_config, baroclinic_instability_state
+from gb25_tpu.models.hydrostatic import tendency_math
+from gb25_tpu.ops.halos import extend_field
+from gb25_tpu.ops.operators import coriolis_ff
+from gb25_tpu.ops.pallas_tendency import kernel_cumsum, pallas_tendencies
+
+
+def test_kernel_cumsum_matches():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((4, 3, 17)), jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(kernel_cumsum(a)), np.cumsum(np.asarray(a), axis=2), rtol=1e-12
+    )
+
+
+@pytest.mark.parametrize("tile", [(32, 8), (64, 16), (128, 4)])
+def test_pallas_tendencies_match_array_backend(tile):
+    grid = simple_latitude_longitude_grid(128, 16, 8, dtype=jnp.float32)
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+
+    ue = extend_field(grid, state.u, "u")
+    ve = extend_field(grid, state.v, "v")
+    tr_e = {k: extend_field(grid, c, "c") for k, c in state.tracers.items()}
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
+
+    Gu_e, Gv_e, Gtr_e = tendency_math(cfg, grid, f_ff, ue, ve, tr_e)
+    ref = (grid.interior(Gu_e), grid.interior(Gv_e),
+           {k: grid.interior(v) for k, v in Gtr_e.items()})
+
+    bx, by = tile
+    Gu, Gv, Gtr = pallas_tendencies(
+        cfg, grid, f_ff, ue, ve, tr_e, bx=bx, by=by, interpret=True
+    )
+
+    # identical math; only fp reduction-order (MXU-cumsum vs cumsum) differs
+    np.testing.assert_allclose(np.asarray(Gu), np.asarray(ref[0]), rtol=2e-4, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Gv), np.asarray(ref[1]), rtol=2e-4, atol=1e-9)
+    for k in Gtr:
+        np.testing.assert_allclose(
+            np.asarray(Gtr[k]), np.asarray(ref[2][k]), rtol=2e-4, atol=1e-7
+        )
