@@ -36,12 +36,15 @@ def baroclinic_instability_config(
 ) -> HydrostaticConfig:
     from gb25_tpu.ops.eos import TEOS10EquationOfState
     from gb25_tpu.models.catke import CATKEVerticalDiffusivity
+    from gb25_tpu.models.keps import TKEDissipationVerticalDiffusivity
 
-    # reference: tracers chosen from buoyancy type, +e for CATKE
-    # (baroclinic_instability_model.jl:42-57)
+    # reference: tracers chosen from buoyancy type, +e for CATKE, +e,eps for
+    # k-epsilon (baroclinic_instability_model.jl:42-57)
     tracers = ("T", "S")
     if isinstance(closure, CATKEVerticalDiffusivity):
         tracers = tracers + ("e",)
+    elif isinstance(closure, TKEDissipationVerticalDiffusivity):
+        tracers = tracers + ("e", "eps")
 
     return HydrostaticConfig(
         tracers=tracers,
@@ -90,6 +93,8 @@ def baroclinic_instability_state(
     new_tracers["S"] = S.astype(dtype)
     if "e" in new_tracers:  # seed TKE at its floor
         new_tracers["e"] = jnp.full(shape, 1e-6, dtype)
+    if "eps" in new_tracers:
+        new_tracers["eps"] = jnp.full(shape, 1e-9, dtype)
     return state.replace(u=u, v=v, tracers=new_tracers)
 
 

@@ -170,12 +170,14 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
         u_mask_e = v_mask_e = None
 
     from gb25_tpu.models.catke import CATKEVerticalDiffusivity, catke_diffusivities
+    from gb25_tpu.models.keps import TKEDissipationVerticalDiffusivity, keps_diffusivities
 
     dtype = state.u.dtype
     f_ff = coriolis_ff(grid, cfg.coriolis).astype(dtype)
 
     diffusivities = None
     G_e_source = None
+    G_eps_source = None
     if isinstance(cfg.closure, CATKEVerticalDiffusivity):
         be = buoyancy_field(cfg, grid, tr_e)
         kap_u_e, kap_c_e, kap_e_e, G_e_ext = catke_diffusivities(
@@ -187,6 +189,19 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
             "kappa_e": grid.interior(kap_e_e),
         }
         G_e_source = grid.interior(G_e_ext)
+    elif isinstance(cfg.closure, TKEDissipationVerticalDiffusivity):
+        be = buoyancy_field(cfg, grid, tr_e)
+        ku, kc, ke, keps, G_e_ext, G_eps_ext = keps_diffusivities(
+            cfg.closure, grid, ue, ve, be, tr_e["e"], tr_e["eps"]
+        )
+        diffusivities = {
+            "kappa_u": grid.interior(ku),
+            "kappa_c": grid.interior(kc),
+            "kappa_e": grid.interior(ke),
+            "kappa_eps": grid.interior(keps),
+        }
+        G_e_source = grid.interior(G_e_ext)
+        G_eps_source = grid.interior(G_eps_ext)
 
     # -- stages 3+5: auxiliaries + tendencies, either as one fused Pallas
     # mega-kernel (TPU fast path) or as XLA-fused array ops --
@@ -217,6 +232,8 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
 
     if G_e_source is not None:
         Gtr["e"] = Gtr["e"] + G_e_source
+    if G_eps_source is not None:
+        Gtr["eps"] = Gtr["eps"] + G_eps_source
 
     if surface_fluxes is not None:
         hz, Nz = grid.hz, grid.Nz
@@ -298,18 +315,23 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         v_new = implicit_vertical_diffusion(v_new, nu, dt, dzc, dzf)
         tracers = {k: implicit_vertical_diffusion(c, kap, dt, dzc, dzf)
                    for k, c in tracers.items()}
-    elif diffusivities is not None:  # CATKE: lagged kappas from stage 3
+    elif diffusivities is not None:  # CATKE / k-eps: lagged kappas from stage 3
         hz, Nz = grid.hz, grid.Nz
         dzc = grid.dz_c[:, :, hz : hz + Nz]
         dzf = grid.dz_f[:, :, hz : hz + Nz]
-        ku, kc, ke = (diffusivities[k] for k in ("kappa_u", "kappa_c", "kappa_e"))
+        ku, kc = diffusivities["kappa_u"], diffusivities["kappa_c"]
+        special = {"e": diffusivities.get("kappa_e"), "eps": diffusivities.get("kappa_eps")}
         u_new = implicit_vertical_diffusion(u_new, ku, dt, dzc, dzf)
         v_new = implicit_vertical_diffusion(v_new, ku, dt, dzc, dzf)
         tracers = {
-            k: implicit_vertical_diffusion(c, ke if k == "e" else kc, dt, dzc, dzf)
+            k: implicit_vertical_diffusion(
+                c, special.get(k) if special.get(k) is not None else kc, dt, dzc, dzf
+            )
             for k, c in tracers.items()
         }
         tracers["e"] = jnp.maximum(tracers["e"], 0.0)
+        if "eps" in tracers:
+            tracers["eps"] = jnp.maximum(tracers["eps"], 0.0)
 
     return state.replace(
         u=u_new, v=v_new, eta=eta, tracers=tracers,
