@@ -92,6 +92,11 @@ class HydrostaticConfig:
     # the configuration supports it, else XLA array ops; "jnp" forces the
     # array-op path; "pallas" forces the kernel (errors if unsupported)
     kernels: str = "auto"
+    # Precision lowering (reference analog: Reactant.MultiFloatOptions,
+    # src/arg_parsing.jl:99-107): compute the tendency stage in this dtype
+    # (e.g. "bfloat16") while the prognostic state/update stays in the
+    # storage dtype. None = compute in storage precision.
+    compute_dtype: str | None = None
 
     @property
     def g(self):

@@ -22,6 +22,7 @@ fuses stages 3-6 into large elementwise kernels and the halo extensions are
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gb25_tpu.models.config import (
@@ -207,13 +208,30 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
     # mega-kernel (TPU fast path) or as XLA-fused array ops --
     from gb25_tpu.ops.pallas_tendency import pallas_supported, pallas_tendencies
 
+    ue_c, ve_c, tr_c, f_c, grid_c = ue, ve, tr_e, f_ff, grid
+    if cfg.compute_dtype is not None:
+        # precision-lowered tendency computation (MultiFloat analog)
+        cdt = jnp.dtype(cfg.compute_dtype)
+        ue_c = ue.astype(cdt)
+        ve_c = ve.astype(cdt)
+        tr_c = {k: v.astype(cdt) for k, v in tr_e.items()}
+        f_c = f_ff.astype(cdt)
+        grid_c = jax.tree_util.tree_map(
+            lambda x: x.astype(cdt) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            grid,
+        )
+
     if cfg.kernels == "pallas" or (cfg.kernels == "auto" and pallas_supported(cfg, grid, ue)):
-        Gu, Gv, Gtr = pallas_tendencies(cfg, grid, f_ff, ue, ve, tr_e)
+        Gu, Gv, Gtr = pallas_tendencies(cfg, grid_c, f_c, ue_c, ve_c, tr_c)
     else:
-        Gu_e, Gv_e, Gtr_e = tendency_math(cfg, grid, f_ff, ue, ve, tr_e)
+        Gu_e, Gv_e, Gtr_e = tendency_math(cfg, grid_c, f_c, ue_c, ve_c, tr_c)
         Gu = grid.interior(Gu_e)
         Gv = grid.interior(Gv_e)
         Gtr = {k: grid.interior(v) for k, v in Gtr_e.items()}
+    if cfg.compute_dtype is not None:
+        Gu = Gu.astype(dtype)
+        Gv = Gv.astype(dtype)
+        Gtr = {k: v.astype(dtype) for k, v in Gtr.items()}
 
     # explicit free surface: barotropic pressure gradient in the slow tendency
     if isinstance(cfg.free_surface, ExplicitFreeSurface):
