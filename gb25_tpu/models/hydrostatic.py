@@ -145,13 +145,17 @@ def tendency_math(cfg, grid, f_ff, ue, ve, tr_e):
     return Gu, Gv, Gtr
 
 
-def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
+def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restoring=None):
     """Stages 1-5: returns interior tendency arrays (Gu, Gv, Geta, {Gc}).
 
     ``surface_fluxes``: optional dict of 2-D (Nx, Ny) kinematic surface fluxes
     {"u", "v", "T", "S", ...} (units: field-units * m/s, positive into the
     ocean) deposited into the top cell — the coupling interface used by the
     ocean-atmosphere model (reference: ComponentInterfaces flux application).
+
+    ``restoring``: optional dict tracer-name -> (target, rate) applying
+    G_c += rate * (target - c) (reference: ECCORestoring with polar-tapered
+    rate mask, simulations/ocean_climate_simulation.jl:65-72).
     """
     # -- stage 2: halo fill (prognostic) --
     ue = extend_field(grid, state.u, "u", comm)
@@ -253,6 +257,10 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None):
     if G_eps_source is not None:
         Gtr["eps"] = Gtr["eps"] + G_eps_source
 
+    if restoring is not None:
+        for name, (target, rate) in restoring.items():
+            Gtr[name] = Gtr[name] + rate * (target - state.tracers[name])
+
     if surface_fluxes is not None:
         hz, Nz = grid.hz, grid.Nz
         dz_top = grid.dz_c[0, 0, hz + Nz - 1]
@@ -283,12 +291,12 @@ def _ab2_coeffs(cfg, state, dtype):
 
 
 def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=None,
-              surface_fluxes=None):
+              surface_fluxes=None, restoring=None):
     """One full quasi-AB2 hydrostatic time step (stages 1-8). Pure function."""
     dtype = state.u.dtype
     dt = jnp.asarray(dt, dtype)
     Gu, Gv, Geta, Gtr, diffusivities = compute_tendencies(
-        cfg, grid, state, comm, surface_fluxes
+        cfg, grid, state, comm, surface_fluxes, restoring
     )
     c1, c2 = _ab2_coeffs(cfg, state, dtype)
 

@@ -24,11 +24,15 @@ _AXIS = {"x": 0, "y": 1, "z": 2}
 
 def sm(a, axis, n=1):
     """Value at index ``i - n`` along axis (shift 'minus')."""
+    if n == 0:
+        return a
     return jnp.roll(a, n, axis=_AXIS[axis])
 
 
 def sp(a, axis, n=1):
     """Value at index ``i + n`` along axis (shift 'plus')."""
+    if n == 0:
+        return a
     return jnp.roll(a, -n, axis=_AXIS[axis])
 
 
