@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""The full ocean-climate simulation (reference:
+simulations/ocean_climate_simulation.jl — tripolar 360/res x 170/res x Nz
+grid, regridded bathymetry, T/S restoring to a monthly climatology under a
+polar taper at rate 1/(7 days), initialization from the climatology state,
+prescribed atmosphere, Simulation(dt=20 min, stop_time), progress callback
+every 10 iterations, surface-slice output writer every 3 days).
+
+Dataset files are optional: absent, the synthetic stand-ins from
+gb25_tpu.data keep the full pipeline runnable without downloads (the
+reference's data-free model serves the same purpose, SURVEY.md section 4.7).
+"""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from gb25_tpu.data import climatology_restoring, initial_state_from_climatology, regrid_bathymetry
+from gb25_tpu.grids import simple_latitude_longitude_grid, tripolar_grid
+from gb25_tpu.grids.immersed import gaussian_islands_bottom
+from gb25_tpu.io import NPZOutputWriter
+from gb25_tpu.models import SplitExplicitFreeSurface, baroclinic_instability_config
+from gb25_tpu.models.atmosphere import data_free_atmosphere
+from gb25_tpu.models.catke import CATKEVerticalDiffusivity
+from gb25_tpu.models.coupled import CoupledConfig, coupled_time_step
+from gb25_tpu.simulation import IterationInterval, Simulation, progress_callback
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--resolution", type=float, default=2.0)
+    p.add_argument("--Nz", type=int, default=20)
+    p.add_argument("--dt", type=float, default=1200.0, help="20 min at 2 deg (reference :50-53)")
+    p.add_argument("--stop-days", type=float, default=1.0)
+    p.add_argument("--grid", default="latlon", choices=["latlon", "tripolar"])
+    p.add_argument("--bathymetry", default=None, help="bathymetry.npz (ETOPO analog)")
+    p.add_argument("--climatology", default=None, help="climatology.npz (ECCO analog)")
+    p.add_argument("--atmosphere", default=None, help="atmosphere.npz (JRA55 analog)")
+    p.add_argument("--output-dir", default="climate_output")
+    p.add_argument("--float-type", default="f32")
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    dtype = {"f32": jnp.float32, "f64": jnp.float64}[args.float_type]
+    Nx, Ny = int(360 / args.resolution), int(170 / args.resolution)
+
+    if args.grid == "tripolar":
+        grid = tripolar_grid(Nx, Ny, args.Nz, dtype=dtype)
+    else:
+        grid = simple_latitude_longitude_grid(Nx, Ny, args.Nz, dtype=dtype)
+    if args.bathymetry:
+        grid = regrid_bathymetry(grid, args.bathymetry)
+    else:
+        grid = gaussian_islands_bottom(grid)
+
+    ocean_cfg = baroclinic_instability_config(
+        free_surface=SplitExplicitFreeSurface(substeps=30),
+        closure=CATKEVerticalDiffusivity(),
+    )
+    ccfg = CoupledConfig(ocean=ocean_cfg)
+    state = initial_state_from_climatology(grid, ocean_cfg, path=args.climatology)
+    restoring = climatology_restoring(grid, path=args.climatology)
+
+    if args.atmosphere:
+        from gb25_tpu.data import file_prescribed_atmosphere
+
+        atmos = file_prescribed_atmosphere(grid, args.atmosphere)
+    else:
+        atmos = data_free_atmosphere(grid, dtype=dtype)
+
+    def step_fn(cfg_unused, grid_, s, dt, n):
+        def body(_, ss):
+            fluxes, _diag = __import__("gb25_tpu.models.coupled", fromlist=["x"]).compute_interface_fluxes(
+                ccfg, grid_, atmos, ss
+            )
+            from gb25_tpu.models.hydrostatic import time_step
+
+            return time_step(ccfg.ocean, grid_, ss, dt, surface_fluxes=fluxes,
+                             restoring=restoring)
+
+        return jax.lax.fori_loop(0, n, body, s)
+
+    sim = Simulation(
+        ocean_cfg, grid, state, dt=args.dt,
+        stop_time=args.stop_days * 86400.0, inner_steps=10,
+        step_fn=jax.jit(step_fn, static_argnames="n"),
+    )
+    sim.add_callback(progress_callback, IterationInterval(10))
+    sim.add_output_writer(NPZOutputWriter(args.output_dir, interval_seconds=3 * 86400.0))
+    sim.run()
+    print(f"done: iteration={sim.iteration} t={sim.time / 86400:.2f} days "
+          f"wall={sim.run_wall_time:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
