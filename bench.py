@@ -37,6 +37,9 @@ def main():
         baroclinic_instability_state,
         loop,
     )
+    from gb25_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     dtype = jnp.dtype(args.dtype)
     grid = simple_latitude_longitude_grid(args.nx, args.ny, args.nz, dtype=dtype)

@@ -115,8 +115,11 @@ def pallas_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, interpret
     X, Y, Z = ue.shape
     dtype = ue.dtype
 
-    bx = bx or _choose_tile(Nx, 256)
-    by = by or _choose_tile(Ny, 16)
+    # VMEM budget: ~4 double-buffered extended input tiles + n_fields output
+    # windows + kernel-body intermediates must fit in ~16 MB, which bounds the
+    # tile to about 128 x 8 columns at Nz ~ 64-128.
+    bx = bx or _choose_tile(Nx, 128)
+    by = by or _choose_tile(Ny, 8)
     gx, gy = Nx // bx, Ny // by
 
     tracer_names = sorted(tr_e.keys())
