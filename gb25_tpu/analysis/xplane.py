@@ -195,12 +195,30 @@ def op_durations(planes, plane_filter=None):
     return dict(sorted(totals.items(), key=lambda kv: -kv[1]))
 
 
+def aggregate_file(path, plane_filter=None):
+    """Total duration [ms] per event name for one xplane file. Uses the
+    native C scanner (gb25_tpu.native) when available; pure-Python otherwise."""
+    from gb25_tpu.native import get_xplane_fast
+
+    fast = get_xplane_fast()
+    totals = {}
+    if fast is not None:
+        with open(path, "rb") as f:
+            data = f.read()
+        for plane_name, durs in fast.aggregate(data):
+            if plane_filter and plane_filter not in plane_name:
+                continue
+            for name, ps in durs.items():
+                totals[name] = totals.get(name, 0.0) + ps / 1e9
+        return totals
+    return op_durations(parse_xspace(path), plane_filter)
+
+
 def summarize(logdir, top=20, plane_filter=None):
     """Top ops by total time across all xplane files under logdir."""
     out = {}
     for path in find_xplane_files(logdir):
-        planes = parse_xspace(path)
-        for name, ms in op_durations(planes, plane_filter).items():
+        for name, ms in aggregate_file(path, plane_filter).items():
             out[name] = out.get(name, 0.0) + ms
     items = sorted(out.items(), key=lambda kv: -kv[1])[:top]
     return items
