@@ -319,9 +319,16 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
 
     if getattr(grid, "north_fold", False):
         # enforce the T-pivot seam self-consistency (NEMO lbc_lnk analog)
-        from gb25_tpu.grids.tripolar import north_fold_projection
+        if comm is not None:
+            from gb25_tpu.parallel.fold import north_fold_projection_dist
 
-        u_new, v_new, eta, tracers = north_fold_projection(grid, u_new, v_new, eta, tracers)
+            u_new, v_new, eta, tracers = north_fold_projection_dist(
+                comm, grid, u_new, v_new, eta, tracers
+            )
+        else:
+            from gb25_tpu.grids.tripolar import north_fold_projection
+
+            u_new, v_new, eta, tracers = north_fold_projection(grid, u_new, v_new, eta, tracers)
 
     if grid.immersed:
         # re-mask after the barotropic correction touched full columns

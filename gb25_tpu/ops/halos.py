@@ -108,10 +108,11 @@ def extend_field(grid, a, kind: str, comm=None):
     (xlo, xhi), (ylo, yhi), (zlo, zhi) = FIELD_BCS[kind]
     if getattr(grid, "north_fold", False):
         if comm is not None:
-            raise NotImplementedError("distributed tripolar north fold: round 2")
-        from gb25_tpu.grids.tripolar import extend_field_tripolar
+            a = comm.extend_xy_fold(a, grid.hx, grid.hy, kind)
+        else:
+            from gb25_tpu.grids.tripolar import extend_field_tripolar
 
-        a = extend_field_tripolar(grid, a, kind, grid.hx, grid.hy)
+            a = extend_field_tripolar(grid, a, kind, grid.hx, grid.hy)
         return extend_axis(a, grid.hz, 2, zlo, zhi)
     if comm is not None:
         a = comm.extend_xy(a, grid.hx, grid.hy, (xlo, xhi), (ylo, yhi))
@@ -147,7 +148,7 @@ def extend2(grid, a, kind: str, comm=None, h: int = 1):
     (xlo, xhi), (ylo, yhi), _ = FIELD_BCS[kind]
     if getattr(grid, "north_fold", False):
         if comm is not None:
-            raise NotImplementedError("distributed tripolar north fold: round 2")
+            return comm.extend_xy_fold(a, h, h, kind)
         from gb25_tpu.grids.tripolar import extend_field_tripolar
 
         return extend_field_tripolar(grid, a, kind, h, h)
@@ -163,7 +164,7 @@ def extend_field_xy(grid, a, kind: str, comm=None):
     (xlo, xhi), (ylo, yhi), _ = FIELD_BCS[kind]
     if getattr(grid, "north_fold", False):
         if comm is not None:
-            raise NotImplementedError("distributed tripolar north fold: round 2")
+            return comm.extend_xy_fold(a, grid.hx, grid.hy, kind)
         from gb25_tpu.grids.tripolar import extend_field_tripolar
 
         return extend_field_tripolar(grid, a, kind, grid.hx, grid.hy)

@@ -41,6 +41,9 @@ class MeshComm:
     y_axis: str = "y"
     x_periodic: bool = True
     y_periodic: bool = False
+    # tripolar north fold (grids.tripolar): pole center index of the fold map
+    north_fold: bool = False
+    pole_index: int = 0
 
     def x_offset(self, nx_local):
         return lax.axis_index(self.x_axis) * nx_local
@@ -80,4 +83,36 @@ class MeshComm:
             a = self._exchange_axis(a, hx, 0, self.x_axis, self.Rx, self.x_periodic, xmodes)
         if hy:
             a = self._exchange_axis(a, hy, 1, self.y_axis, self.Ry, self.y_periodic, ymodes)
+        return a
+
+    def extend_xy_fold(self, a, hx, hy, kind):
+        """Tripolar extension: south wall / neighbor rows / north-fold rows in
+        y (fold exchanged across the top rank row), then the periodic x ring.
+        Mirrors the single-device order in grids.tripolar so corners agree."""
+        from gb25_tpu.ops.halos import FIELD_BCS, ghost_blocks
+        from gb25_tpu.parallel.fold import fold_ghosts_north_dist
+
+        (xlo, xhi), (ylo, _), _ = FIELD_BCS[kind]
+        if hy:
+            R = self.Ry
+            fold_hi = fold_ghosts_north_dist(self, a, hy, kind)
+            if R == 1:
+                lo, _ = ghost_blocks(a, hy, 1, ylo, "zerograd")
+                hi = fold_hi
+            else:
+                send_up = _take(a, slice(-hy, None), 1)
+                send_dn = _take(a, slice(0, hy), 1)
+                recv_lo = lax.ppermute(
+                    send_up, self.y_axis, [(r, r + 1) for r in range(R - 1)]
+                )
+                recv_hi = lax.ppermute(
+                    send_dn, self.y_axis, [(r, r - 1) for r in range(1, R)]
+                )
+                idx = lax.axis_index(self.y_axis)
+                bc_lo, _ = ghost_blocks(a, hy, 1, ylo, "zerograd")
+                lo = jnp.where(idx == 0, bc_lo, recv_lo)
+                hi = jnp.where(idx == R - 1, fold_hi, recv_hi)
+            a = jnp.concatenate([lo, a, hi], axis=1)
+        if hx:
+            a = self._exchange_axis(a, hx, 0, self.x_axis, self.Rx, True, (xlo, xhi))
         return a

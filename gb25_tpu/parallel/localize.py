@@ -32,12 +32,7 @@ def localize_grid(grid, comm, nx_local: int, ny_local: int):
             return lax.dynamic_slice(a, (z0, iy, z0), (1, ny_local + 2 * hy, 1))
         return lax.dynamic_slice(a, (ix, iy, z0), (nx_local + 2 * hx, ny_local + 2 * hy, 1))
 
-    return _replace_grid(grid, nx_local, ny_local, loc_x1d, loc_y1d, loc_xy3d, ix, iy)
-
-
-def _replace_grid(grid, nx_local, ny_local, loc_x1d, loc_y1d, loc_xy3d, ix, iy):
-    return dataclasses.replace(
-        grid,
+    kwargs = dict(
         Nx=nx_local,
         Ny=ny_local,
         lam_c=loc_x1d(grid.lam_c),
@@ -52,6 +47,13 @@ def _replace_grid(grid, nx_local, ny_local, loc_x1d, loc_y1d, loc_xy3d, ix, iy):
         azf=loc_xy3d(grid.azf),
         bottom_height=lax.dynamic_slice(grid.bottom_height, (ix, iy), (nx_local, ny_local)),
     )
+    if getattr(grid, "north_fold", False):  # tripolar extras
+        kwargs.update(
+            lam2_c=lax.dynamic_slice(grid.lam2_c, (ix, iy), (nx_local, ny_local)),
+            phi2_c=lax.dynamic_slice(grid.phi2_c, (ix, iy), (nx_local, ny_local)),
+            phi2_ff=loc_xy3d(grid.phi2_ff),
+        )
+    return dataclasses.replace(grid, **kwargs)
 
 
 def localize_atmosphere(atmos, comm, nx_local: int, ny_local: int):

@@ -55,8 +55,11 @@ def replicate(tree, mesh):
     )
 
 
-def make_comm(mesh) -> MeshComm:
-    return MeshComm(Rx=mesh.shape["x"], Ry=mesh.shape["y"])
+def make_comm(mesh, grid=None) -> MeshComm:
+    kw = {}
+    if grid is not None and getattr(grid, "north_fold", False):
+        kw = dict(north_fold=True, pole_index=grid.pole_index)
+    return MeshComm(Rx=mesh.shape["x"], Ry=mesh.shape["y"], **kw)
 
 
 def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None):
@@ -66,7 +69,7 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None):
     (reference: the 256-step compiled loop!,
     /root/reference/sharding/sharded_baroclinic_instability_simulation_run.jl:96).
     """
-    comm = make_comm(mesh)
+    comm = make_comm(mesh, grid)
     Rx, Ry = mesh.shape["x"], mesh.shape["y"]
     if grid.Nx % Rx or grid.Ny % Ry:
         raise ValueError(f"grid {grid.Nx}x{grid.Ny} not divisible by mesh {Rx}x{Ry}")

@@ -161,3 +161,42 @@ class TestModelOnTripolar:
         state = baroclinic_instability_state(g, noise_velocity=1e-3)
         s = jax.jit(loop, static_argnames="n")(cfg, g, state, 5.0, 10)
         assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(s))
+
+
+class TestDistributedFold:
+    """Distributed north-fold exchange: sharded tripolar == single device
+    (SURVEY.md hard part (a))."""
+
+    def _run(self, mesh_shape, steps=3, dt=5.0):
+        import pytest
+
+        if len(jax.devices()) < mesh_shape[0] * mesh_shape[1]:
+            pytest.skip("needs more virtual devices")
+        from gb25_tpu.parallel import make_mesh, shard_state
+        from gb25_tpu.parallel.sharded import sharded_step_fn
+
+        g = tripolar_grid(NX, NY, NZ, dtype=jnp.float64)
+        cfg = baroclinic_instability_config()
+        state = baroclinic_instability_state(g, noise_velocity=1e-3)
+
+        s_ref = state
+        step = jax.jit(loop, static_argnames="n")
+        s_ref = step(cfg, g, s_ref, dt, steps)
+
+        mesh = make_mesh(mesh_shape[0] * mesh_shape[1], shape=mesh_shape)
+        fn = sharded_step_fn(cfg, g, mesh, n_inner=steps)
+        s_sh = fn(shard_state(state, mesh), jnp.float64(dt))
+        for a, b in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_sh)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12)
+
+    def test_mesh_4x2(self):
+        self._run((4, 2))
+
+    def test_mesh_2x2(self):
+        self._run((2, 2))
+
+    def test_mesh_1x2(self):
+        self._run((1, 2))
+
+    def test_mesh_8x1(self):
+        self._run((8, 1))
