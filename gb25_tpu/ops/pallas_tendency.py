@@ -94,6 +94,14 @@ def _choose_tile(N, target, lo=8):
 
 
 def pallas_supported(cfg, grid, ue) -> bool:
+    import os
+
+    # Round-1 status: at VMEM-feasible tile sizes the mega-kernel is only
+    # ~15% faster than the XLA array path (Mosaic keeps every tile-sized
+    # intermediate live on the VMEM stack, capping tiles at 32x8), so "auto"
+    # keeps the array path; opt in via GB25_ENABLE_PALLAS=1 or kernels="pallas".
+    if not int(os.environ.get("GB25_ENABLE_PALLAS", "0")):
+        return False
     if jax.default_backend() != "tpu":
         return False
     if cfg.tracer_advection not in ("weno5", "centered2", "upwind1", "none"):
