@@ -72,12 +72,21 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
 
     u_star/v_star: baroclinic AB2-updated velocities (no eta gradient force).
     Gu_ab/Gv_ab:   the AB2-combined tendencies used for that update (interior).
+
+    Latency optimization (SURVEY.md hard part (b)): instead of two width-1
+    halo exchanges per substep (2 x 30 rounds of thin ppermutes per model
+    step — pure latency at scale), halos of width W (= grid halo) are
+    exchanged once per *block*; each forward-backward substep consumes two
+    ghost rings (one for the divergence, one for the surface gradient), so a
+    block covers floor(W/2) substeps: 30 substeps need 15 exchange rounds
+    instead of 60, with identical interior arithmetic.
     """
     fs = cfg.free_surface
     g = fs.gravitational_acceleration
     M = fs.substeps
     dtau = 2.0 * dt / M
-    w = jnp.asarray(averaging_weights(M, fs.averaging), dtype=state.eta.dtype)
+    w_all = averaging_weights(M, fs.averaging)
+    dtype = state.eta.dtype
 
     hz, Nz = grid.hz, grid.Nz
     dz = grid.dz_c[:, :, hz : hz + Nz]
@@ -88,37 +97,56 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
     GU, GV = zint(Gu_ab), zint(Gv_ab)
     U0, V0 = zint(state.u), zint(state.v)
 
-    # static column depth at u/v points (linearized free surface)
+    # exchange width: the grid halo, clamped so strips (width W+1 for the
+    # depth field) never exceed the local tile extent on tiny/sliver tiles
+    W = min(grid.hx, grid.hy, grid.Nx - 1, grid.Ny - 1)
+    W = max(W, 1)
+    per_block = max(W // 2, 1)      # substeps supported per exchange
+
+    # static column depth at u/v points (linearized free surface) and the
+    # barotropic forcing, all extended to width W (constant over the solve)
     H = -grid.bottom_height  # (Nx, Ny), positive depth
-    He = _extend2(grid, H, "c", comm)
-    Hu = _crop2(grid, ix_f(He))
-    Hv = _crop2(grid, iy_f(He))
+    He = _extend2(grid, H, "c", comm, h=W + 1)
+    Hu_e = ix_f(He)[1:-1, 1:-1]  # width W
+    Hv_e = iy_f(He)[1:-1, 1:-1]
+    GU_e = _extend2(grid, GU, "u", comm, h=W)
+    GV_e = _extend2(grid, GV, "v", comm, h=W)
 
-    dxc, dxf, dyc, dyf, azc = _metrics2(grid, h=1)
+    dxc, dxf, dyc, dyf, azc = _metrics2(grid, h=W)
 
-    def body(carry, wm):
-        eta, U, V, eta_b, U_b, V_b = carry
-        Ue = _extend2(grid, U, "u", comm)
-        Ve = _extend2(grid, V, "v", comm)
-        div = _crop2(grid, (dx_c(Ue * dyc) + dy_c(Ve * dxf)) / azc)
-        eta = eta - dtau * div
-        etae = _extend2(grid, eta, "c", comm)
-        detax = _crop2(grid, dx_f(etae) / dxc)
-        detay = _crop2(grid, dy_f(etae) / dyf)
-        U = U + dtau * (-g * Hu * detax + GU)
-        V = V + dtau * (-g * Hv * detay + GV)
-        eta_b = eta_b + wm * eta
-        U_b = U_b + wm * U
-        V_b = V_b + wm * V
-        return (eta, U, V, eta_b, U_b, V_b), None
+    def interior(a):
+        return a[W:-W, W:-W]
 
-    z2 = jnp.zeros_like(state.eta)
-    init = (state.eta, U0, V0, z2, z2, z2)
-    (eta, U, V, eta_b, U_b, V_b), _ = lax.scan(body, init, w)
+    eta, U, V = state.eta, U0, V0
+    eta_b = jnp.zeros_like(state.eta)
+    U_b = jnp.zeros_like(U0)
+    V_b = jnp.zeros_like(V0)
+
+    m = 0
+    while m < M:
+        block = min(per_block, M - m)
+        eta_e = _extend2(grid, eta, "c", comm, h=W)
+        U_e = _extend2(grid, U, "u", comm, h=W)
+        V_e = _extend2(grid, V, "v", comm, h=W)
+        for j in range(block):
+            wm = jnp.asarray(w_all[m + j], dtype)
+            div = (dx_c(U_e * dyc) + dy_c(V_e * dxf)) / azc
+            eta_e = eta_e - dtau * div
+            detax = dx_f(eta_e) / dxc
+            detay = dy_f(eta_e) / dyf
+            U_e = U_e + dtau * (-g * Hu_e * detax + GU_e)
+            V_e = V_e + dtau * (-g * Hv_e * detay + GV_e)
+            eta_b = eta_b + wm * interior(eta_e)
+            U_b = U_b + wm * interior(U_e)
+            V_b = V_b + wm * interior(V_e)
+        eta, U, V = interior(eta_e), interior(U_e), interior(V_e)
+        m += block
 
     # barotropic correction: replace the depth mean of (u*, v*) with the
     # filtered barotropic transport (reference:
     # correct_velocities_and_cache_previous_tendencies!, precompile.jl:41)
+    Hu = interior(Hu_e)
+    Hv = interior(Hv_e)
     Hu_safe = jnp.maximum(Hu, 1e-30)
     Hv_safe = jnp.maximum(Hv, 1e-30)
     du = (U_b - zint(u_star)) / Hu_safe

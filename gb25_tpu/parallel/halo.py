@@ -52,6 +52,11 @@ class MeshComm:
         return lax.axis_index(self.y_axis) * ny_local
 
     def _exchange_axis(self, a, h, axis, axis_name, R, periodic, modes):
+        if R > 1 and h > a.shape[axis]:
+            raise ValueError(
+                f"halo width {h} exceeds local tile extent {a.shape[axis]} "
+                f"along axis {axis}: use a smaller halo or fewer ranks"
+            )
         lo_mode, hi_mode = modes
         if R == 1:
             # single rank along this axis: purely local boundary handling
