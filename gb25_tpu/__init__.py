@@ -24,4 +24,18 @@ Layer map (mirrors SURVEY.md section 1, reference layers L2-L7):
 
 __version__ = "0.1.0"
 
-from gb25_tpu.grids import LatitudeLongitudeGrid, exponential_z_faces  # noqa: F401
+from gb25_tpu.grids import (  # noqa: F401
+    LatitudeLongitudeGrid,
+    TripolarGrid,
+    exponential_z_faces,
+    simple_latitude_longitude_grid,
+    tripolar_grid,
+)
+from gb25_tpu.models import (  # noqa: F401
+    HydrostaticConfig,
+    HydrostaticState,
+    SplitExplicitFreeSurface,
+    baroclinic_instability_model,
+    loop,
+    time_step,
+)

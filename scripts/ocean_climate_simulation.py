@@ -73,13 +73,12 @@ def main():
     else:
         atmos = data_free_atmosphere(grid, dtype=dtype)
 
+    from gb25_tpu.models.coupled import compute_interface_fluxes
+    from gb25_tpu.models.hydrostatic import time_step
+
     def step_fn(cfg_unused, grid_, s, dt, n):
         def body(_, ss):
-            fluxes, _diag = __import__("gb25_tpu.models.coupled", fromlist=["x"]).compute_interface_fluxes(
-                ccfg, grid_, atmos, ss
-            )
-            from gb25_tpu.models.hydrostatic import time_step
-
+            fluxes, _diag = compute_interface_fluxes(ccfg, grid_, atmos, ss)
             return time_step(ccfg.ocean, grid_, ss, dt, surface_fluxes=fluxes,
                              restoring=restoring)
 
