@@ -46,13 +46,25 @@ def main():
     cfg = baroclinic_instability_config()
     state = baroclinic_instability_state(grid)
 
+    import numpy as _np
+
+    def _sync(s):
+        # device_get forces completion (block_until_ready is unreliable on
+        # some experimental platforms)
+        _np.asarray(jax.device_get(s.iteration))
+
     lp = jax.jit(loop, static_argnames="n")
     state = lp(cfg, grid, state, args.dt, args.warmup)
-    jax.block_until_ready(state)
+    _sync(state)
+    # one full throwaway loop: the first execution of a program pays one-time
+    # lazy initialization; steady state is what the reference reports too
+    # (its benchmark takes the *second* loop's timing)
+    state = lp(cfg, grid, state, args.dt, args.steps)
+    _sync(state)
 
     t0 = time.perf_counter()
     state = lp(cfg, grid, state, args.dt, args.steps)
-    jax.block_until_ready(state)
+    _sync(state)
     elapsed = time.perf_counter() - t0
 
     assert bool(jnp.isfinite(state.u).all()), "benchmark produced non-finite state"
