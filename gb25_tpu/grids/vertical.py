@@ -26,8 +26,9 @@ def exponential_z_faces(Nz: int, depth: float = 4000.0, h: float = 30.0) -> np.n
         raise ValueError("Nz must be >= 1")
     uniform = depth / Nz
     k = np.arange(Nz + 1, dtype=np.float64)
-    if h >= uniform:
-        # Requested surface spacing >= uniform spacing: use uniform faces.
+    if h >= uniform or Nz == 1:
+        # Requested surface spacing >= uniform spacing (or a single layer):
+        # use uniform faces.
         return -depth * (1.0 - k / Nz)
 
     def top_spacing(gamma: float) -> float:
