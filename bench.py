@@ -29,6 +29,9 @@ def main():
     p.add_argument("--warmup", type=int, default=4)
     p.add_argument("--dt", type=float, default=60.0)
     p.add_argument("--dtype", default="float32")
+    p.add_argument("--compute-dtype", default=None,
+                   help="precision-lowered tendency computation, e.g. bfloat16 "
+                        "(MultiFloat analog; ~1.5x faster, f32 state)")
     args = p.parse_args()
 
     from gb25_tpu.grids import simple_latitude_longitude_grid
@@ -44,6 +47,10 @@ def main():
     dtype = jnp.dtype(args.dtype)
     grid = simple_latitude_longitude_grid(args.nx, args.ny, args.nz, dtype=dtype)
     cfg = baroclinic_instability_config()
+    if args.compute_dtype:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
     state = baroclinic_instability_state(grid)
 
     import numpy as _np

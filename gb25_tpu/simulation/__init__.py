@@ -1,4 +1,5 @@
 from gb25_tpu.simulation.simulation import (  # noqa: F401
+    CheckpointWriter,
     Simulation,
     IterationInterval,
     TimeInterval,

@@ -122,6 +122,36 @@ class Simulation:
         return self.state
 
 
+class CheckpointWriter:
+    """Periodic per-host sharded checkpointing (reference: save_model_state
+    after each benchmark loop, sharded_io.jl:122-138)."""
+
+    def __init__(self, directory, interval_seconds=86400.0, keep=2):
+        self.directory = directory
+        self.interval = interval_seconds
+        self.keep = keep
+        self._last = None
+        self._written = []
+
+    def maybe_write(self, sim):
+        import os
+        import shutil
+
+        from gb25_tpu.io import save_sharded_state
+
+        t = sim.time
+        if self._last is not None and t - self._last < self.interval - 1e-9:
+            return
+        self._last = t
+        path = os.path.join(self.directory, f"ckpt_iter{sim.iteration:09d}")
+        save_sharded_state(sim.state, path)
+        self._written.append(path)
+        while len(self._written) > self.keep:
+            old = self._written.pop(0)
+            if jax.process_index() == 0:
+                shutil.rmtree(old, ignore_errors=True)
+
+
 def progress_callback(sim: Simulation):
     """Default progress logger (reference:
     simulations/ocean_climate_simulation.jl:95-116: iteration, time, max|u|,

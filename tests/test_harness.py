@@ -112,3 +112,20 @@ def test_output_writer(setup, tmp_path):
     assert eta.shape[1:] == (16, 8)
     t2, T = read_series(str(tmp_path / "out"), "T_surface")
     assert T.shape[1:] == (16, 8)
+
+
+def test_checkpoint_writer(setup, tmp_path):
+    from gb25_tpu.simulation.simulation import CheckpointWriter
+    from gb25_tpu.io import load_metadata
+
+    cfg, grid, state = setup
+    sim = Simulation(cfg, grid, state, dt=60.0, stop_iteration=12, inner_steps=4)
+    w = CheckpointWriter(str(tmp_path / "ck"), interval_seconds=240.0, keep=2)
+    sim.add_output_writer(w)
+    sim.run()
+    import glob
+
+    dirs = sorted(glob.glob(str(tmp_path / "ck" / "ckpt_iter*")))
+    assert 1 <= len(dirs) <= 2  # pruned to keep=2
+    meta = load_metadata(dirs[-1])
+    assert meta["iteration"] == 12
