@@ -184,3 +184,27 @@ def test_baroclinic_instability_develops():
     assert np.isfinite(ke)
     assert ke > 1e-6  # flow spun up from the front
     assert float(jnp.abs(s.u).max()) < 10.0  # ... but physically bounded
+
+
+def test_loop_equals_repeated_steps(small):
+    """The fused on-device loop and repeated single steps agree exactly."""
+    cfg, grid, state = small
+    step = jax.jit(time_step)
+    s1 = state
+    for _ in range(4):
+        s1 = step(cfg, grid, s1, 120.0)
+    s2 = jax.jit(loop, static_argnames="n")(cfg, grid, state, 120.0, 4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dynamic_dt_no_recompile(small):
+    """dt is a traced value (reference traces Δt dynamically,
+    timestepping_utils.jl:31): different dt must not retrigger compilation."""
+    cfg, grid, state = small
+    step = jax.jit(time_step)
+    s1 = step(cfg, grid, state, 60.0)
+    n0 = step._cache_size()
+    s2 = step(cfg, grid, state, 120.0)
+    assert step._cache_size() == n0
+    assert float(s2.time) == 120.0
