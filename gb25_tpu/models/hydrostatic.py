@@ -83,17 +83,26 @@ def tendency_math(cfg, grid, f_ff, ue, ve, tr_e):
 
     Pure function of extended arrays + (possibly tile-local) grid metrics.
     This exact code runs both as XLA array ops on whole (local) domains and
-    inside the Pallas mega-kernel on VMEM tiles (ops/pallas_tendency.py),
+    inside the Pallas kernels on VMEM tiles (ops/pallas_tendency.py),
     which is what guarantees the two backends agree.
     """
-    eps = cfg.weno_eps
-
-    # auxiliaries: w from continuity, buoyancy, hydrostatic pressure
     we = diagnose_w(grid, ue, ve)
     be = buoyancy_field(cfg, grid, tr_e)
     pe = hydrostatic_pressure(grid, be)
+    Gu, Gv = momentum_tendency_math(cfg, grid, f_ff, ue, ve, we, pe)
+    Gtr = tracer_tendency_math(cfg, grid, ue, ve, we, tr_e)
+    return Gu, Gv, Gtr
 
-    # momentum: upwinded vector-invariant scheme
+
+def momentum_tendency_math(cfg, grid, f_ff, ue, ve, we=None, pe=None, tr_e=None):
+    """Momentum tendencies (upwinded vector-invariant + pressure gradient).
+    Auxiliaries are recomputed from tr_e when not supplied (Pallas split)."""
+    eps = cfg.weno_eps
+    if we is None:
+        we = diagnose_w(grid, ue, ve)
+    if pe is None:
+        pe = hydrostatic_pressure(grid, buoyancy_field(cfg, grid, tr_e))
+
     q = jnp.broadcast_to(f_ff, ue.shape)
     if cfg.momentum_advection in ("weno_vector_invariant", "vector_invariant"):
         q = q + vertical_vorticity(grid, ue, ve)
@@ -124,8 +133,15 @@ def tendency_math(cfg, grid, f_ff, ue, ve, tr_e):
     # hydrostatic pressure-anomaly gradient
     Gu = Gu - dx_f(pe) / grid.dxc
     Gv = Gv - dy_f(pe) / grid.dyf
+    return Gu, Gv
 
-    # tracers: flux-form advection
+
+def tracer_tendency_math(cfg, grid, ue, ve, we=None, tr_e=None):
+    """Tracer flux-form advection tendencies (w recomputed if not supplied)."""
+    eps = cfg.weno_eps
+    if we is None:
+        we = diagnose_w(grid, ue, ve)
+
     Gtr = {}
     for name, ce in tr_e.items():
         if cfg.tracer_advection == "none":
@@ -142,7 +158,7 @@ def tendency_math(cfg, grid, f_ff, ue, ve, tr_e):
         Gc = -(dx_c(ue * grid.dyc * cx) + dy_c(ve * grid.dxf * cy)) / grid.azc
         Gc = Gc - dz_c(we * cz) / grid.dz_c
         Gtr[name] = Gc
-    return Gu, Gv, Gtr
+    return Gtr
 
 
 def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restoring=None):

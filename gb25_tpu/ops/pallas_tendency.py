@@ -114,19 +114,41 @@ def pallas_supported(cfg, grid, ue) -> bool:
     return True
 
 
-def pallas_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, interpret=False):
-    """Fused tendency stage: extended inputs -> interior (Gu, Gv, {Gc})."""
-    from gb25_tpu.models.hydrostatic import tendency_math
+def pallas_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None,
+                      interpret=False, split=True):
+    """Fused tendency stage: extended inputs -> interior (Gu, Gv, {Gc}).
+
+    ``split=True`` runs two kernels (momentum / tracers). Each recomputes the
+    cheap column auxiliaries (w, buoyancy, pressure) in VMEM but keeps about
+    half the live tile-sized temporaries, which roughly doubles the feasible
+    tile area under Mosaic's ~16 MB VMEM stack."""
+    if split:
+        Gu, Gv = _run_kernel(cfg, grid, f_ff, ue, ve, tr_e, "momentum",
+                             bx, by, interpret)
+        Gtr_list = _run_kernel(cfg, grid, f_ff, ue, ve, tr_e, "tracers",
+                               bx, by, interpret)
+        return Gu, Gv, Gtr_list
+    outs = _run_kernel(cfg, grid, f_ff, ue, ve, tr_e, "all", bx, by, interpret)
+    return outs
+
+
+def _run_kernel(cfg, grid, f_ff, ue, ve, tr_e, which, bx, by, interpret):
+    from gb25_tpu.models.hydrostatic import (
+        momentum_tendency_math,
+        tendency_math,
+        tracer_tendency_math,
+    )
 
     Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
     hx, hy, hz = grid.halo
     X, Y, Z = ue.shape
     dtype = ue.dtype
 
-    # VMEM budget: ~4 double-buffered extended input tiles + n_fields output
-    # windows + kernel-body intermediates must fit in ~16 MB, which bounds the
-    # tile to about 128 x 8 columns at Nz ~ 64-128.
-    bx = bx or _choose_tile(Nx, 128)
+    # VMEM budget: extended input tiles (double-buffered) + output windows +
+    # Mosaic's stack of tile-sized intermediates. The split kernels fit
+    # roughly twice the tile area of the monolithic one.
+    default_bx = 64 if which != "all" else 32
+    bx = bx or _choose_tile(Nx, default_bx)
     by = by or _choose_tile(Ny, 8)
     gx, gy = Nx // bx, Ny // by
 
@@ -136,6 +158,12 @@ def pallas_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, interpret
     zrows = [grid.dz_c, grid.dz_f, grid.z_c]
 
     n_fields = 2 + len(tracer_names)
+    if which == "momentum":
+        n_out = 2
+    elif which == "tracers":
+        n_out = len(tracer_names)
+    else:
+        n_out = n_fields
 
     def field_spec():
         return pl.BlockSpec(
@@ -187,32 +215,45 @@ def pallas_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, interpret
             dz_c=zvals[0], dz_f=zvals[1], z_c=zvals[2],
         )
         f_tile = mvals[6]
-        Gu_e, Gv_e, Gtr_e = tendency_math(cfg, tile, f_tile, u_t, v_t, tr_t)
-        outs[0][:] = tile.interior(Gu_e)
-        outs[1][:] = tile.interior(Gv_e)
-        for k, name in enumerate(tracer_names):
-            outs[2 + k][:] = tile.interior(Gtr_e[name])
+        if which == "momentum":
+            Gu_e, Gv_e = momentum_tendency_math(cfg, tile, f_tile, u_t, v_t, tr_e=tr_t)
+            outs[0][:] = tile.interior(Gu_e)
+            outs[1][:] = tile.interior(Gv_e)
+        elif which == "tracers":
+            Gtr_e = tracer_tendency_math(cfg, tile, u_t, v_t, tr_e=tr_t)
+            for k, name in enumerate(tracer_names):
+                outs[k][:] = tile.interior(Gtr_e[name])
+        else:
+            Gu_e, Gv_e, Gtr_e = tendency_math(cfg, tile, f_tile, u_t, v_t, tr_t)
+            outs[0][:] = tile.interior(Gu_e)
+            outs[1][:] = tile.interior(Gv_e)
+            for k, name in enumerate(tracer_names):
+                outs[2 + k][:] = tile.interior(Gtr_e[name])
 
-    out_shapes = [jax.ShapeDtypeStruct((Nx, Ny, Nz), dtype) for _ in range(n_fields)]
+    out_shapes = [jax.ShapeDtypeStruct((Nx, Ny, Nz), dtype) for _ in range(n_out)]
 
     flops_per_cell = 600 if cfg.tracer_advection == "weno5" else 200
     outs = pl.pallas_call(
         kernel,
         grid=(gx, gy),
         in_specs=in_specs,
-        out_specs=[out_spec] * n_fields,
+        out_specs=[out_spec] * n_out,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * Nx * Ny * Nz,
-            bytes_accessed=(n_fields * 2) * Nx * Ny * Nz * jnp.dtype(dtype).itemsize,
+            bytes_accessed=(n_fields + n_out) * Nx * Ny * Nz * jnp.dtype(dtype).itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
     )(ue, ve, *[tr_e[n] for n in tracer_names], *metrics, *zrows)
 
+    if which == "momentum":
+        return outs[0], outs[1]
+    if which == "tracers":
+        return {name: outs[k] for k, name in enumerate(tracer_names)}
     Gu, Gv = outs[0], outs[1]
     Gtr = {name: outs[2 + k] for k, name in enumerate(tracer_names)}
     return Gu, Gv, Gtr
