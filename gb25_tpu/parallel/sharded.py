@@ -62,13 +62,17 @@ def make_comm(mesh, grid=None) -> MeshComm:
     return MeshComm(Rx=mesh.shape["x"], Ry=mesh.shape["y"], **kw)
 
 
-def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None):
+def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None):
     """Build a jitted sharded step: ``fn(state, dt) -> state``.
 
     ``n_inner`` wraps ``n_inner`` steps into one on-device ``fori_loop``
     (reference: the 256-step compiled loop!,
     /root/reference/sharding/sharded_baroclinic_instability_simulation_run.jl:96).
+    ``restoring``: optional global {tracer: (target, rate)} dict (sliced
+    per-device; reference: ECCORestoring in the sharded runs).
     """
+    from gb25_tpu.parallel.localize import localize_restoring
+
     comm = make_comm(mesh, grid)
     Rx, Ry = mesh.shape["x"], mesh.shape["y"]
     if grid.Nx % Rx or grid.Ny % Ry:
@@ -80,21 +84,27 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None):
     proto = initial_state(grid, tracers=cfg.tracers, dtype=grid.dtype)
     sspec = _state_specs(proto)
     gspec = _grid_specs(grid)
+    rspec = jax.tree_util.tree_map(lambda _: P(), restoring)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(sspec, P(), gspec),
+        in_specs=(sspec, P(), gspec, rspec),
         out_specs=sspec,
     )
-    def _local_step(state, dt, gridrep):
+    def _local_step(state, dt, gridrep, restrep):
         lgrid = localize_grid(gridrep, comm, nxl, nyl)
+        lrest = localize_restoring(restrep, comm, nxl, nyl)
+
+        def one(s):
+            return time_step(cfg, lgrid, s, dt, comm, restoring=lrest)
+
         if n_inner is None:
-            return time_step(cfg, lgrid, state, dt, comm)
-        return loop(cfg, lgrid, state, dt, n_inner, comm)
+            return one(state)
+        return jax.lax.fori_loop(0, n_inner, lambda _, s: one(s), state)
 
     def fn(state, dt):
-        return _local_step(state, dt, grid)
+        return _local_step(state, dt, grid, restoring)
 
     return jax.jit(fn)
 

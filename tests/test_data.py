@@ -83,3 +83,35 @@ def test_file_prescribed_atmosphere(tmp_path):
     np.testing.assert_allclose(np.asarray(a["Ta"]), 280.5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(a["ua"]), 5.0, atol=1e-6)
     assert abs(float(a["pa"][0, 0]) - 101325.0) < 0.1  # defaulted field
+
+
+def test_sharded_restoring_matches_serial():
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from gb25_tpu.parallel import make_mesh, shard_state
+    from gb25_tpu.parallel.sharded import sharded_step_fn
+
+    g = _grid()
+    cfg = baroclinic_instability_config()
+    state = initial_state_from_climatology(g, cfg)
+    restoring = climatology_restoring(g, rate=1.0 / 86400.0)
+
+    step = jax.jit(
+        lambda c, gg, s, dt: time_step(c, gg, s, dt, restoring=restoring)
+    )
+    s_ref = state
+    for _ in range(3):
+        s_ref = step(cfg, g, s_ref, 300.0)
+
+    mesh = make_mesh(4, shape=(2, 2))
+    fn = sharded_step_fn(cfg, g, mesh, restoring=restoring)
+    s_sh = shard_state(state, mesh)
+    for _ in range(3):
+        s_sh = fn(s_sh, jnp.float64(300.0))
+
+    import numpy as _np
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_sh)):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b), rtol=1e-9, atol=1e-12)
