@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gb25_tpu.grids import simple_latitude_longitude_grid
 from gb25_tpu.models.config import HydrostaticConfig, SplitExplicitFreeSurface

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 from gb25_tpu.ops.halos import extend_axis
 from gb25_tpu.ops.stencils import dx_c, dx_f, dy_c, dy_f, ix_f, iy_f

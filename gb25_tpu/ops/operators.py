@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from gb25_tpu.ops.stencils import dx_c, dx_f, dy_c, dy_f, ix_c, ix_f, iy_c, iy_f
+from gb25_tpu.ops.stencils import dx_c, dx_f, dy_c, dy_f, ix_c, iy_c
 
 
 def horizontal_divergence(grid, u, v):

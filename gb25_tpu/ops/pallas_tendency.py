@@ -23,8 +23,6 @@ contractions on the MXU (z extents are 32-128: tiny, fast matmuls).
 
 from __future__ import annotations
 
-import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -83,8 +83,6 @@ def fold_ghosts_north_dist(comm, a, h, kind):
 
 def north_fold_projection_dist(comm, grid, u, v, eta, tracers):
     """Distributed T-pivot seam projection (top rank row only)."""
-    import jax
-
     iy = lax.axis_index(comm.y_axis)
     is_top = iy == comm.Ry - 1
     P = grid.Ny - 1

@@ -15,10 +15,9 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from gb25_tpu.models.hydrostatic import time_step, loop
+from gb25_tpu.models.hydrostatic import time_step
 from gb25_tpu.parallel.halo import MeshComm
 from gb25_tpu.parallel.localize import localize_grid
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from gb25_tpu.ops.halos import extend_field
-from gb25_tpu.ops.operators import diagnose_w, kinetic_energy, vertical_vorticity
+from gb25_tpu.ops.operators import diagnose_w, vertical_vorticity
 
 
 def surface_vorticity(grid, state, comm=None):
