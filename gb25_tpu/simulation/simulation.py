@@ -54,13 +54,14 @@ class Simulation:
     """Drives a jitted model; reference analog of Oceananigans' Simulation."""
 
     def __init__(self, cfg, grid, state, dt, stop_time=None, stop_iteration=None,
-                 inner_steps=16, comm=None, step_fn=None):
+                 inner_steps=16, comm=None, step_fn=None, wall_time_limit=None):
         self.cfg = cfg
         self.grid = grid
         self.state = state
         self.dt = float(dt)
         self.stop_time = stop_time
         self.stop_iteration = stop_iteration
+        self.wall_time_limit = wall_time_limit  # seconds (reference: CI `timeout`)
         self.inner_steps = inner_steps
         self.callbacks: list[Callback] = []
         self.output_writers: list = []
@@ -105,6 +106,10 @@ class Simulation:
         """Reference analog of ``run!(simulation)``."""
         t0 = _time.perf_counter()
         while not self._should_stop():
+            if (self.wall_time_limit is not None
+                    and _time.perf_counter() - t0 > self.wall_time_limit):
+                logger.warning("wall-time limit reached; stopping cleanly")
+                break
             n = self._next_chunk()
             if n <= 0:
                 break

@@ -200,3 +200,23 @@ class TestDistributedFold:
 
     def test_mesh_8x1(self):
         self._run((8, 1))
+
+    def test_no_gather_in_tripolar_hlo(self):
+        """The distributed fold must also compile to collective-permutes only
+        (the reference CI's communication-pattern gate)."""
+        import pytest
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from gb25_tpu.parallel import make_mesh, shard_state
+        from gb25_tpu.parallel.sharded import sharded_step_fn
+
+        g = tripolar_grid(NX, NY, NZ, dtype=jnp.float32)
+        cfg = baroclinic_instability_config()
+        state = baroclinic_instability_state(g)
+        mesh = make_mesh(8, shape=(4, 2))
+        fn = sharded_step_fn(cfg, g, mesh)
+        hlo = fn.lower(shard_state(state, mesh), jnp.float32(5.0)).compile().as_text()
+        for bad in ("all-gather", "all-reduce", "all-to-all"):
+            assert bad not in hlo, f"forbidden collective {bad}"
+        assert "collective-permute" in hlo
