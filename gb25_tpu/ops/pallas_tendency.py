@@ -113,13 +113,15 @@ def pallas_supported(cfg, grid, ue) -> bool:
 
 
 def pallas_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None,
-                      interpret=False, split=True):
+                      interpret=False, split=False):
     """Fused tendency stage: extended inputs -> interior (Gu, Gv, {Gc}).
 
-    ``split=True`` runs two kernels (momentum / tracers). Each recomputes the
-    cheap column auxiliaries (w, buoyancy, pressure) in VMEM but keeps about
-    half the live tile-sized temporaries, which roughly doubles the feasible
-    tile area under Mosaic's ~16 MB VMEM stack."""
+    ``split=True`` runs two kernels (momentum / tracers), each recomputing the
+    cheap column auxiliaries in VMEM. Measured on v5e: even the split kernels
+    exceed Mosaic's ~16 MB VMEM stack above 32x8 tiles (the WENO temporaries
+    dominate), so the default is the monolithic kernel at its feasible tile;
+    the round-2 design is a z-slab streaming kernel that bounds live
+    temporaries independently of Nz."""
     if split:
         Gu, Gv = _run_kernel(cfg, grid, f_ff, ue, ve, tr_e, "momentum",
                              bx, by, interpret)
@@ -143,10 +145,8 @@ def _run_kernel(cfg, grid, f_ff, ue, ve, tr_e, which, bx, by, interpret):
     dtype = ue.dtype
 
     # VMEM budget: extended input tiles (double-buffered) + output windows +
-    # Mosaic's stack of tile-sized intermediates. The split kernels fit
-    # roughly twice the tile area of the monolithic one.
-    default_bx = 64 if which != "all" else 32
-    bx = bx or _choose_tile(Nx, default_bx)
+    # Mosaic's stack of tile-sized intermediates bound the tile to ~32x8.
+    bx = bx or _choose_tile(Nx, 32)
     by = by or _choose_tile(Ny, 8)
     gx, gy = Nx // bx, Ny // by
 
