@@ -208,3 +208,19 @@ def test_dynamic_dt_no_recompile(small):
     s2 = step(cfg, grid, state, 120.0)
     assert step._cache_size() == n0
     assert float(s2.time) == 120.0
+
+
+def test_buoyancy_tracer_mode():
+    """Direct buoyancy-tracer configuration (reference: BuoyancyTracer ->
+    tracers=(:b,), baroclinic_instability_model.jl:42-43)."""
+    from gb25_tpu.models.config import HydrostaticConfig, SplitExplicitFreeSurface
+
+    grid = simple_latitude_longitude_grid(16, 8, 4, dtype=jnp.float64)
+    cfg = HydrostaticConfig(
+        tracers=("b",), free_surface=SplitExplicitFreeSurface(substeps=10)
+    )
+    z = grid.z_c_i.reshape(1, 1, -1)
+    b = jnp.broadcast_to(4e-6 * z + 0 * z, grid.shape)
+    state = initial_state(grid, ("b",), jnp.float64).replace(tracers={"b": b})
+    s = jax.jit(loop, static_argnames="n")(cfg, grid, state, 120.0, 10)
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(s))
