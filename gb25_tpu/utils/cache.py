@@ -29,6 +29,28 @@ def enable_persistent_cache(directory: str | None = None,
     return directory
 
 
+def try_compile(jitted, *args, dump_dir="compile_failure", label="program"):
+    """Compile with failure-artifact capture (reference: try_compile_code,
+    timestepping_utils.jl:8-19 — compile crashes become inspectable IR dumps
+    plus a deferred failure instead of an opaque abort)."""
+    import os
+    import traceback
+
+    lowered = jitted.lower(*args)
+    try:
+        return lowered.compile()
+    except Exception:
+        os.makedirs(dump_dir, exist_ok=True)
+        path = os.path.join(dump_dir, f"{label}.stablehlo.mlir")
+        with open(path, "w") as f:
+            f.write(lowered.as_text())
+        with open(os.path.join(dump_dir, f"{label}.traceback.txt"), "w") as f:
+            f.write(traceback.format_exc())
+        raise RuntimeError(
+            f"compile of {label} failed; lowered IR dumped to {path}"
+        )
+
+
 def warm(cfg, grid, state, dt, steps=(1, 16), mesh=None):
     """AOT-compile the step programs so later runs hit the persistent cache.
 
