@@ -39,7 +39,7 @@ def _column_total_b(cfg, grid, tr_e):
     hz, Nz = grid.hz, grid.Nz
     be = buoyancy_field(cfg, grid, tr_e)
     bdz = be[:, :, hz : hz + Nz] * grid.dz_c[:, :, hz : hz + Nz]
-    return jnp.sum(bdz, axis=2)
+    return jnp.sum(bdz, axis=2, keepdims=True)  # (X, Y, 1)
 
 
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
@@ -82,9 +82,10 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         )
 
     def spec2d():
+        # trailing dim of 1 keeps Mosaic's trailing-block-dims constraint happy
         return pl.BlockSpec(
-            (pl.Element(bxh), pl.Element(byh)),
-            lambda i, j: (i * bx, j * by), memory_space=pltpu.VMEM,
+            (pl.Element(bxh), pl.Element(byh), pl.Element(1)),
+            lambda i, j: (i * bx, j * by, 0), memory_space=pltpu.VMEM,
         )
 
     def metric_spec(m):
@@ -119,7 +120,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         outs = refs[n_in:]
         u_ref, v_ref = ins[0], ins[1]
         tr_refs = {name: ins[2 + k] for k, name in enumerate(tracer_names)}
-        btot = ins[n_fields][:]  # (bxh, byh)
+        btot = ins[n_fields][:]  # (bxh, byh, 1)
         mvals = [ins[n_fields + 1 + k][:] for k in range(len(metrics))]
         dz_c_ref, dz_f_ref, z_c_ref = ins[n_in - 3], ins[n_in - 2], ins[n_in - 1]
         f_tile = mvals[6]
@@ -155,7 +156,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
             bw = buoyancy_field(cfg, tile, trw)
             bdz = bw * dz_cw * valid
             csum_inc = csum_car[:, :, None] + kernel_cumsum(bdz)
-            pw = btot[:, :, None] - csum_inc + 0.5 * bdz
+            pw = btot - csum_inc + 0.5 * bdz
 
             # continuity: w at window faces (face c = bottom of window cell c)
             div = horizontal_divergence(tile, uw, vw) * valid
