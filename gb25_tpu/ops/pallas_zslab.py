@@ -24,6 +24,7 @@ bounds live temporaries independently of Nz:
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -125,13 +126,15 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         dz_c_ref, dz_f_ref, z_c_ref = ins[n_in - 3], ins[n_in - 2], ins[n_in - 1]
         f_tile = mvals[6]
 
-        # per-window level validity offsets (window cell c ~ level k0-gz+c)
-        coffs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
-
+        # NOTE: the chunk loop is python-unrolled with STATIC z-slices:
+        # fori_loop + dynamic lane-dimension slices crashes the Mosaic
+        # compiler on v5e (probe-verified), while unrolled static slices
+        # compile; the stores between iterations give the register allocator
+        # sequencing points to recycle the window temporaries.
         def chunk(kc, carry):
             w_car, csum_car = carry  # (bxh, byh) each
             k0 = kc * bz
-            zwin = pl.ds(hz + k0 - gz, W)
+            zwin = slice(hz + k0 - gz, hz + k0 - gz + W)
 
             uw = u_ref[:, :, zwin]
             vw = v_ref[:, :, zwin]
@@ -147,7 +150,9 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
                 dz_c=dz_cw, dz_f=dz_fw, z_c=z_cw,
             )
 
-            lvl = k0 - gz + coffs
+            # validity mask built from an in-kernel iota (captured host
+            # constants are rejected by pallas_call)
+            lvl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2) + (k0 - gz)
             valid = ((lvl >= 0) & (lvl < Nz)).astype(dtype)
 
             # buoyancy + pressure: p = total - inclusive_csum + 0.5 b dz
@@ -167,7 +172,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
             Gu_w, Gv_w = momentum_tendency_math(cfg, tile, f_tile, uw, vw, we=ww, pe=pw)
             Gtr_w = tracer_tendency_math(cfg, tile, uw, vw, we=ww, tr_e=trw)
 
-            zout = pl.ds(k0, bz)
+            zout = slice(k0, k0 + bz)
             outs[0][:, :, zout] = tile.interior(Gu_w)
             outs[1][:, :, zout] = tile.interior(Gv_w)
             for k, name in enumerate(tracer_names):
@@ -179,8 +184,9 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
             csum_car_new = csum_inc[:, :, bz - 1]
             return (w_car_new, csum_car_new)
 
-        init = (jnp.zeros((bxh, byh), dtype), jnp.zeros((bxh, byh), dtype))
-        jax.lax.fori_loop(0, Nz // bz, chunk, init)
+        carry = (jnp.zeros((bxh, byh), dtype), jnp.zeros((bxh, byh), dtype))
+        for kc in range(Nz // bz):
+            carry = chunk(kc, carry)
 
     out_shapes = [jax.ShapeDtypeStruct((Nx, Ny, Nz), dtype) for _ in range(n_out)]
     outs = pl.pallas_call(
