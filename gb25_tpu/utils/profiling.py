@@ -35,6 +35,30 @@ def annotate(name: str, **metadata):
     return jax.profiler.TraceAnnotation(label)
 
 
+@contextlib.contextmanager
+def gbprofile(name: str, enabled: bool = True, directory: str = "."):
+    """Host-side Python profiling of a phase (reference: the @gbprofile macro
+    wrapping Profile.@profile and dumping profile_<name>.txt,
+    model_utils.jl:24-43). Wraps cProfile and writes profile_<name>.txt."""
+    if not enabled:
+        yield
+        return
+    import cProfile
+    import os
+    import pstats
+
+    prof = cProfile.Profile()
+    prof.enable()
+    try:
+        yield
+    finally:
+        prof.disable()
+        path = os.path.join(directory, f"profile_{name}.txt")
+        with open(path, "w") as f:
+            stats = pstats.Stats(prof, stream=f)
+            stats.sort_stats("cumulative").print_stats(60)
+
+
 class Timer:
     """Minimal phase timer mirroring the reference's `@time "[rank] label"`
     benchmark log format, scraped by its weak-scaling tooling
