@@ -135,8 +135,13 @@ def data_free_atmosphere(ocean_grid, Na=360, Ma=180, ntimes=24, dtype=None):
     Qsw = np.broadcast_to(sunlight(phi_a)[None, :, None], (Na, Ma, ntimes))
     zeros = np.zeros((Na, Ma, ntimes))
 
-    dst_lam = np.asarray(ocean_grid.lam_c_i)[:, None] + 0 * np.asarray(ocean_grid.phi_c_i)[None, :]
-    dst_phi = 0 * dst_lam + np.asarray(ocean_grid.phi_c_i)[None, :]
+    if getattr(ocean_grid, "lam2_c", None) is not None:
+        # curvilinear (tripolar) ocean grid: 2-D cell-center coordinates
+        dst_lam = np.asarray(ocean_grid.lam2_c) % 360.0
+        dst_phi = np.asarray(ocean_grid.phi2_c)
+    else:
+        dst_lam = np.asarray(ocean_grid.lam_c_i)[:, None] + 0 * np.asarray(ocean_grid.phi_c_i)[None, :]
+        dst_phi = 0 * dst_lam + np.asarray(ocean_grid.phi_c_i)[None, :]
     ix0, ix1, wx, iy0, iy1, wy = _bilinear_weights(lam_a, phi_a, dst_lam, dst_phi)
 
     as_dt = lambda a: jnp.asarray(a, dtype)

@@ -102,17 +102,25 @@ def coupled_loop(ccfg, grid, atmos, state, dt, n, comm=None):
 def data_free_ocean_climate_model(resolution=2.0, Nz=20, dtype=jnp.float32,
                                   closure="catke", grid_type="gaussian_islands"):
     """Reference: data_free_ocean_climate_model_init (resolution=2, Nz=20),
-    gaussian-islands bathymetry, analytic atmosphere, CATKE ocean defaults."""
-    from gb25_tpu.grids import resolution_to_points, simple_latitude_longitude_grid
+    gaussian-islands bathymetry, analytic atmosphere, CATKE ocean defaults.
+
+    ``grid_type``: "gaussian_islands" (lat-lon band) or
+    "gaussian_islands_tripolar" (the reference's actual configuration:
+    gaussian_islands_tripolar_grid, model_utils.jl:134-146 — curvilinear
+    tripolar grid with the two-island bathymetry and north-fold seam)."""
+    from gb25_tpu.grids import resolution_to_points, simple_latitude_longitude_grid, tripolar_grid
     from gb25_tpu.grids.immersed import gaussian_islands_bottom
     from gb25_tpu.models.atmosphere import data_free_atmosphere
     from gb25_tpu.models.baroclinic import baroclinic_instability_config, smooth_step
     from gb25_tpu.models.state import initial_state
 
     Nx, Ny = resolution_to_points(resolution)
-    grid = simple_latitude_longitude_grid(Nx, Ny, Nz, dtype=dtype)
-    if grid_type == "gaussian_islands":
-        grid = gaussian_islands_bottom(grid)
+    if grid_type == "gaussian_islands_tripolar":
+        grid = gaussian_islands_bottom(tripolar_grid(Nx, Ny, Nz, dtype=dtype))
+    else:
+        grid = simple_latitude_longitude_grid(Nx, Ny, Nz, dtype=dtype)
+        if grid_type == "gaussian_islands":
+            grid = gaussian_islands_bottom(grid)
 
     closure_obj = CATKEVerticalDiffusivity() if closure == "catke" else None
     ocean_cfg = baroclinic_instability_config(
@@ -121,7 +129,10 @@ def data_free_ocean_climate_model(resolution=2.0, Nz=20, dtype=jnp.float32,
     ccfg = CoupledConfig(ocean=ocean_cfg)
 
     state = initial_state(grid, ocean_cfg.tracers, dtype)
-    phi = grid.phi_c_i.reshape(1, -1, 1).astype(dtype)
+    if getattr(grid, "phi2_c", None) is not None:
+        phi = grid.phi2_c[:, :, None].astype(dtype)  # curvilinear 2-D latitudes
+    else:
+        phi = grid.phi_c_i.reshape(1, -1, 1).astype(dtype)
     z = grid.z_c_i.reshape(1, 1, -1).astype(dtype)
     # reference T/S init (model_utils.jl:89-97, sans noise)
     T = jnp.broadcast_to((30.0 + 1e-3 * z) * smooth_step(phi), grid.shape)

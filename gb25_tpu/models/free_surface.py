@@ -26,7 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from gb25_tpu.ops.halos import extend_axis
-from gb25_tpu.ops.stencils import dx_c, dx_f, dy_c, dy_f, ix_f, iy_f
+from gb25_tpu.ops.stencils import dx_c, dx_f, dy_c, dy_f, ix_f, iy_f, sm
 
 
 def averaging_weights(substeps: int, kind: str = "parabolic") -> np.ndarray:
@@ -98,18 +98,50 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
 
     # exchange width: the grid halo, clamped so strips (width W+1 for the
     # depth field) never exceed the local tile extent on tiny/sliver tiles
+    # NOTE: W must be identical in the serial and distributed runs for bitwise
+    # agreement (different block widths reassociate the substep arithmetic at
+    # the 1e-12 level); on fold grids a sliver tile that cannot source the
+    # W+1-wide exchange raises in fold_exchange_strips rather than silently
+    # shrinking W locally.
     W = min(grid.hx, grid.hy, grid.Nx - 1, grid.Ny - 1)
     W = max(W, 1)
     per_block = max(W // 2, 1)      # substeps supported per exchange
 
     # static column depth at u/v points (linearized free surface) and the
     # barotropic forcing, all extended to width W (constant over the solve)
-    H = -grid.bottom_height  # (Nx, Ny), positive depth
-    He = _extend2(grid, H, "c", comm, h=W + 1)
-    Hu_e = ix_f(He)[1:-1, 1:-1]  # width W
-    Hv_e = iy_f(He)[1:-1, 1:-1]
+    if grid.immersed:
+        # immersed-aware face depths: the *discrete* fluid depth of the
+        # shallower adjacent column (sum of dz over cells above the higher
+        # of the two bottoms), so solid faces carry zero depth and the
+        # correction divides by exactly the depth the 3-D face mask spans
+        # (reference analog: Oceananigans' immersed column_depth at faces)
+        bhe = _extend2(grid, grid.bottom_height, "c", comm, h=W + 1)
+        zc = grid.z_c[0, 0, hz : hz + Nz]
+        dzc = grid.dz_c[0, 0, hz : hz + Nz]
+
+        def face_depth(bf):  # bf: (X, Y) face-max bottom height
+            return jnp.sum(
+                jnp.where(zc[None, None, :] > bf[:, :, None], dzc[None, None, :], 0.0),
+                axis=2,
+            ).astype(dtype)
+
+        bu = jnp.maximum(bhe, sm(bhe, "x"))[1:-1, 1:-1]
+        bv = jnp.maximum(bhe, sm(bhe, "y"))[1:-1, 1:-1]
+        Hu_e = face_depth(bu)  # width W
+        Hv_e = face_depth(bv)
+        maskU_e = (Hu_e > 0).astype(dtype)
+        maskV_e = (Hv_e > 0).astype(dtype)
+    else:
+        H = -grid.bottom_height  # (Nx, Ny), positive depth
+        He = _extend2(grid, H, "c", comm, h=W + 1)
+        Hu_e = ix_f(He)[1:-1, 1:-1]  # width W
+        Hv_e = iy_f(He)[1:-1, 1:-1]
+        maskU_e = maskV_e = None
     GU_e = _extend2(grid, GU, "u", comm, h=W)
     GV_e = _extend2(grid, GV, "v", comm, h=W)
+    if maskU_e is not None:
+        GU_e = GU_e * maskU_e
+        GV_e = GV_e * maskV_e
 
     dxc, dxf, dyc, dyf, azc = _metrics2(grid, h=W)
 
@@ -135,6 +167,11 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
             detay = dy_f(eta_e) / dyf
             U_e = U_e + dtau * (-g * Hu_e * detax + GU_e)
             V_e = V_e + dtau * (-g * Hv_e * detay + GV_e)
+            if maskU_e is not None:
+                # no transport through solid faces: the free surface cannot
+                # flux mass through coastlines (ADVICE r1 medium finding)
+                U_e = U_e * maskU_e
+                V_e = V_e * maskV_e
             eta_b = eta_b + wm * interior(eta_e)
             U_b = U_b + wm * interior(U_e)
             V_b = V_b + wm * interior(V_e)

@@ -382,10 +382,13 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         if "eps" in tracers:
             tracers["eps"] = jnp.maximum(tracers["eps"], 0.0)
 
+    from gb25_tpu.models.state import advance_clock
+
+    t_new, t_lo = advance_clock(state.time, state.time_lo, dt)
     return state.replace(
         u=u_new, v=v_new, eta=eta, tracers=tracers,
         Gu=Gu, Gv=Gv, Geta=Geta, Gtracers=Gtr,
-        time=state.time + dt, iteration=state.iteration + 1,
+        time=t_new, time_lo=t_lo, iteration=state.iteration + 1,
     )
 
 

@@ -75,17 +75,20 @@ def diagnose_w(grid, u, v):
 def hydrostatic_pressure(grid, b):
     """Hydrostatic pressure anomaly (p/rho0, m^2/s^2) at cell centers.
 
-    p(z_c[k]) = integral_z^0 of -(-b) : p[k] = sum_{k'>k} b[k'] dz_c[k'] +
-    0.5 b[k] dz_c[k] integrated downward from p(surface)=0. The free-surface
+    Hydrostatic balance dp/dz = b integrated down from p(surface) = 0:
+    p(z_c[k]) = -integral_z^0 b dz' = -(sum_{k'>k} b[k'] dz_c[k'] +
+    0.5 b[k] dz_c[k]), so a buoyant column carries LOW pressure at depth
+    (deep flow converges under buoyant anomalies; thermal wind upright).
+    The momentum tendency then applies Gu -= dx(p). The free-surface
     contribution g*eta is handled by the free-surface solver, not here
     (split-explicit: reference src/baroclinic_instability_model.jl:22).
     """
     hz, Nz = grid.hz, grid.Nz
     bdz = b[:, :, hz : hz + Nz] * grid.dz_c[:, :, hz : hz + Nz]
-    # reversed cumulative sum excluding own layer + half own layer
+    # negated reversed cumulative sum excluding own layer + half own layer
     total = jnp.sum(bdz, axis=2, keepdims=True)
     csum = _zcumsum(grid, bdz)
-    p_int = total - csum + 0.5 * bdz
+    p_int = csum - total - 0.5 * bdz
     below = [p_int[:, :, :1]] * hz
     above = [p_int[:, :, -1:]] * hz
     return jnp.concatenate(below + [p_int] + above, axis=2)

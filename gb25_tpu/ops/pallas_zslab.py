@@ -155,13 +155,15 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
             lvl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2) + (k0 - gz)
             valid = ((lvl >= 0) & (lvl < Nz)).astype(dtype)
 
-            # buoyancy + pressure: p = total - inclusive_csum + 0.5 b dz
+            # buoyancy + pressure: p = inclusive_csum - total - 0.5 b dz
+            # (dp/dz = b integrated down from p(surface)=0; see
+            # ops/operators.py::hydrostatic_pressure)
             from gb25_tpu.models.hydrostatic import buoyancy_field
 
             bw = buoyancy_field(cfg, tile, trw)
             bdz = bw * dz_cw * valid
             csum_inc = csum_car[:, :, None] + kernel_cumsum(bdz)
-            pw = btot - csum_inc + 0.5 * bdz
+            pw = csum_inc - btot - 0.5 * bdz
 
             # continuity: w at window faces (face c = bottom of window cell c)
             div = horizontal_divergence(tile, uw, vw) * valid

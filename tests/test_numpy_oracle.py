@@ -123,14 +123,17 @@ class Oracle:
         return b
 
     def pressure(self, b):
+        # dp/dz = b, p(surface) = 0, integrated downward (independent loop
+        # derivation; must agree in sign with the physical regression test
+        # in test_physics_regression.py)
         p = np.zeros_like(b)
         for k in reversed(range(self.Nz)):
             above = (
-                p[:, :, k + 1] + 0.5 * b[:, :, k + 1] * self.dzc[k + 1]
+                p[:, :, k + 1] - 0.5 * b[:, :, k + 1] * self.dzc[k + 1]
                 if k + 1 < self.Nz
                 else 0.0
             )
-            p[:, :, k] = above + 0.5 * b[:, :, k] * self.dzc[k]
+            p[:, :, k] = above - 0.5 * b[:, :, k] * self.dzc[k]
         return p
 
     def tendencies(self, u, v, T, S, eta):

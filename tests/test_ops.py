@@ -213,16 +213,20 @@ class TestOperators:
     def test_hydrostatic_pressure_linear_b(self):
         g = simple_latitude_longitude_grid(8, 6, 10, dtype=jnp.float64)
         hz = g.hz
-        # b = N^2 z -> p(z) = -N^2 z^2 / 2 + C with p(0)=0 (anomaly integral)
+        # dp/dz = b with p(0)=0: b = N^2 z -> p(z) = N^2 z^2 / 2 (>0: stable
+        # stratification has denser water below -> higher p anomaly at depth)
         N2 = 4e-6
         zc = np.asarray(g.z_c)[0, 0]
         b = jnp.asarray(np.broadcast_to(N2 * zc[None, None, :], (16, 14, 18)).copy())
         p = np.asarray(hydrostatic_pressure(g, b))[0, 0, hz : hz + 10]
         # The discrete integral of piecewise-constant b over layers: compare
-        # against the midpoint-rule oracle computed densely.
+        # against the midpoint-rule oracle computed densely (downward
+        # integration of dp/dz = b from the surface).
         dz = np.asarray(g.dz_c)[0, 0, hz : hz + 10]
         bz = N2 * zc[hz : hz + 10]
-        oracle = np.array(
+        oracle = -np.array(
             [np.sum(bz[k + 1 :] * dz[k + 1 :]) + 0.5 * bz[k] * dz[k] for k in range(10)]
         )
         np.testing.assert_allclose(p, oracle, rtol=1e-12)
+        # continuous solution check: p ~ N^2 z^2 / 2 > 0 at depth
+        assert p[0] > 0
