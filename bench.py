@@ -1,16 +1,21 @@
 """Benchmark: baroclinic-instability time step throughput on one device.
 
-Reference benchmark unit (BASELINE.md): one compiled loop of 256 time steps
-of the sharded baroclinic-instability model; per-GPU tile 768x768x64 on Alps
-GH200 at ~221 ms/step -> 1.708e8 cell-steps/s per GPU. We report
-cell-steps/s/device on the same physics configuration
-(SplitExplicitFreeSurface(substeps=30), WENO-5 momentum+tracers, TEOS10),
-with vs_baseline = ours / reference-per-GPU.
+Reference benchmark unit (BASELINE.md): one compiled loop of **256 time
+steps** of the sharded baroclinic-instability model, timing the *second*
+loop (/root/reference/sharding/sharded_baroclinic_instability_simulation_run.jl:96);
+per-GPU tile 768x768x64 on Alps GH200 at ~221 ms/step -> 1.708e8
+cell-steps/s per GPU. We report cell-steps/s/device on the same physics
+configuration (SplitExplicitFreeSurface(substeps=30), WENO-5
+momentum+tracers, TEOS10), with vs_baseline = ours / reference-per-GPU.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Also reported (VERDICT r1 item 4): estimated achieved HBM bandwidth and the
+fraction of peak, plus a bf16-compute companion row (MultiFloat analog).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}.
 """
 
 import argparse
+import dataclasses
 import json
 import time
 
@@ -19,19 +24,50 @@ import jax.numpy as jnp
 
 REFERENCE_CELL_STEPS_PER_SEC = 768 * 768 * 64 / 0.221  # Alps GH200 per-GPU
 
+# Peak HBM bandwidth by TPU generation (GB/s); used only for the utilization
+# estimate. v5 lite (v5e): 819 GB/s.
+PEAK_HBM_GBS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v5": 1228.0,
+                "TPU v5p": 2765.0, "TPU v4": 1228.0, "TPU v6 lite": 1640.0}
+
+
+def peak_hbm_gbs():
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return None
+    for k, v in PEAK_HBM_GBS.items():
+        if kind.startswith(k):
+            return v
+    return None
+
+
+def time_loop(lp, cfg, grid, state, dt, steps, warmup, sync):
+    state = lp(cfg, grid, state, dt, warmup)
+    sync(state)
+    # one full throwaway loop: the first execution of a program pays one-time
+    # lazy initialization; the reference also times the *second* loop
+    state = lp(cfg, grid, state, dt, steps)
+    sync(state)
+    t0 = time.perf_counter()
+    state = lp(cfg, grid, state, dt, steps)
+    sync(state)
+    return time.perf_counter() - t0, state
+
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--nx", type=int, default=1536)
     p.add_argument("--ny", type=int, default=768)
     p.add_argument("--nz", type=int, default=64)
-    p.add_argument("--steps", type=int, default=16)
-    p.add_argument("--warmup", type=int, default=4)
+    p.add_argument("--steps", type=int, default=256)
+    p.add_argument("--warmup", type=int, default=8)
     p.add_argument("--dt", type=float, default=60.0)
     p.add_argument("--dtype", default="float32")
     p.add_argument("--compute-dtype", default=None,
                    help="precision-lowered tendency computation, e.g. bfloat16 "
-                        "(MultiFloat analog; ~1.5x faster, f32 state)")
+                        "(MultiFloat analog; f32 state)")
+    p.add_argument("--no-bf16-row", action="store_true",
+                   help="skip the bf16-compute companion measurement")
     args = p.parse_args()
 
     from gb25_tpu.grids import simple_latitude_longitude_grid
@@ -48,45 +84,70 @@ def main():
     grid = simple_latitude_longitude_grid(args.nx, args.ny, args.nz, dtype=dtype)
     cfg = baroclinic_instability_config()
     if args.compute_dtype:
-        import dataclasses
-
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
     state = baroclinic_instability_state(grid)
 
     import numpy as _np
 
     def _sync(s):
-        # device_get forces completion (block_until_ready is unreliable on
-        # some experimental platforms)
+        # device_get of a scalar forces completion (block_until_ready is
+        # unreliable on some experimental platforms; never pull big arrays —
+        # the transfer tunnel would dominate)
         _np.asarray(jax.device_get(s.iteration))
 
     lp = jax.jit(loop, static_argnames="n")
-    state = lp(cfg, grid, state, args.dt, args.warmup)
-    _sync(state)
-    # one full throwaway loop: the first execution of a program pays one-time
-    # lazy initialization; steady state is what the reference reports too
-    # (its benchmark takes the *second* loop's timing)
-    state = lp(cfg, grid, state, args.dt, args.steps)
-    _sync(state)
 
-    t0 = time.perf_counter()
-    state = lp(cfg, grid, state, args.dt, args.steps)
-    _sync(state)
-    elapsed = time.perf_counter() - t0
-
+    elapsed, state = time_loop(lp, cfg, grid, state, jnp.asarray(args.dt, dtype),
+                               args.steps, args.warmup, _sync)
     assert bool(jnp.isfinite(state.u).all()), "benchmark produced non-finite state"
 
     cells = args.nx * args.ny * args.nz
+    ms_per_step = 1e3 * elapsed / args.steps
     cell_steps_per_sec = cells * args.steps / elapsed
+
+    # HBM accounting: bytes accessed per step from XLA's own cost model when
+    # available, else the measured-pass estimate (~170 full-array passes/step
+    # on the array path, ops/pallas_tendency.py:6-7 analysis)
+    bytes_per_step = None
+    try:
+        c = lp.lower(cfg, grid, state, jnp.asarray(args.dt, dtype), args.steps).compile()
+        ca = c.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        if ca and "bytes accessed" in ca:
+            bytes_per_step = float(ca["bytes accessed"]) / args.steps
+    except Exception:
+        pass
+    if bytes_per_step is None:
+        bytes_per_step = 170 * cells * jnp.dtype(dtype).itemsize
+    hbm_gbs = bytes_per_step * args.steps / elapsed / 1e9
+    peak = peak_hbm_gbs()
+
+    extra = {
+        "ms_per_step": round(ms_per_step, 2),
+        "hbm_gbs_est": round(hbm_gbs, 1),
+        "hbm_pct_peak": round(100.0 * hbm_gbs / peak, 1) if peak else None,
+        "steps": args.steps,
+    }
+
+    if not args.no_bf16_row and args.compute_dtype is None:
+        cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        st16 = baroclinic_instability_state(grid)
+        e16, st16 = time_loop(lp, cfg16, grid, st16, jnp.asarray(args.dt, dtype),
+                              args.steps, args.warmup, _sync)
+        extra["bf16_ms_per_step"] = round(1e3 * e16 / args.steps, 2)
+        extra["bf16_vs_baseline"] = round(
+            cells * args.steps / e16 / REFERENCE_CELL_STEPS_PER_SEC, 4)
+
     print(
         json.dumps(
             {
                 "metric": "baroclinic_instability cell-steps/s/device "
                 f"({args.nx}x{args.ny}x{args.nz}, {args.steps} steps, "
-                f"{args.dtype}, ms/step={1e3 * elapsed / args.steps:.2f})",
+                f"{args.dtype}, ms/step={ms_per_step:.2f})",
                 "value": round(cell_steps_per_sec, 1),
                 "unit": "cell-steps/s",
                 "vs_baseline": round(cell_steps_per_sec / REFERENCE_CELL_STEPS_PER_SEC, 4),
+                **extra,
             }
         )
     )

@@ -97,6 +97,15 @@ class HydrostaticConfig:
     # (e.g. "bfloat16") while the prognostic state/update stays in the
     # storage dtype. None = compute in storage precision.
     compute_dtype: str | None = None
+    # Communication/computation overlap (reference analog: the boundary/
+    # interior kernel split + ``optimize_communications`` CompileOption,
+    # /root/reference/src/precompile.jl:52-73 and
+    # sharding/sharded_baroclinic_instability_simulation_run.jl:109-112):
+    # when True and running distributed, core tendencies are computed from a
+    # local-only extension so they carry no data dependence on the halo
+    # ppermutes, letting XLA's latency-hiding scheduler overlap them.
+    # False = monolithic tendencies (the ablation setting).
+    overlap_split: bool = True
 
     @property
     def g(self):

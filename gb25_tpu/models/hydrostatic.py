@@ -161,6 +161,80 @@ def tracer_tendency_math(cfg, grid, ue, ve, we=None, tr_e=None):
     return Gtr
 
 
+def _grid_window(grid, sx, sy, nxw, nyw):
+    """A tile-window view of the grid: metrics sliced to the extended window
+    (sx, sy), interior size (nxw, nyw). Only the attributes tendency_math
+    touches need to be consistent."""
+    import dataclasses
+
+    def sl(m):
+        if m.shape[0] == 1:
+            return m[:, sy, :]
+        return m[sx, sy, :]
+
+    return dataclasses.replace(
+        grid, Nx=nxw, Ny=nyw,
+        dxc=sl(grid.dxc), dxf=sl(grid.dxf), dyc=sl(grid.dyc), dyf=sl(grid.dyf),
+        azc=sl(grid.azc), azf=sl(grid.azf),
+    )
+
+
+def _window_tendency(cfg, grid, f_ff, ue, ve, tr_e, x0, nxw, y0, nyw):
+    """Tendencies for the interior window [x0, x0+nxw) x [y0, y0+nyw)
+    (interior coordinates) from the minimal extended slice."""
+    hx, hy = grid.hx, grid.hy
+    sx = slice(x0, x0 + nxw + 2 * hx)
+    sy = slice(y0, y0 + nyw + 2 * hy)
+
+    def sub(a):
+        return a[sx, sy, :]
+
+    gw = _grid_window(grid, sx, sy, nxw, nyw)
+    f_w = f_ff[:, sy, :] if f_ff.shape[0] == 1 else f_ff[sx, sy, :]
+    Gu_e, Gv_e, Gtr_e = tendency_math(cfg, gw, f_w, sub(ue), sub(ve),
+                                      {k: sub(c) for k, c in tr_e.items()})
+    return gw.interior(Gu_e), gw.interior(Gv_e), {k: gw.interior(v) for k, v in Gtr_e.items()}
+
+
+def split_tendency_math(cfg, grid, f_ff, ue, ve, tr_e, ue_loc, ve_loc, tr_loc):
+    """Interior/boundary tendency split for communication overlap.
+
+    Reference analog: Oceananigans' boundary/interior kernel split under
+    ``complete_communication_and_compute_buffer!``
+    (/root/reference/src/precompile.jl:52-73), ablated by the reference's
+    ``optimize_communications`` CompileOption. The *core* region (further
+    than one halo width from every tile edge) is computed from the
+    local-only extension ``*_loc`` — in the HLO dependency graph it does not
+    consume any ``ppermute`` result, so XLA's latency-hiding scheduler is
+    free to run it while the halo exchange is in flight. The four boundary
+    strips are computed from the exchanged extension and stitched back; the
+    stitched result is value-identical to the monolithic computation
+    (tests/test_overlap.py asserts both the equality and, by NaN-poisoning
+    the exchanged halos, the core's independence).
+    """
+    hx, hy = grid.hx, grid.hy
+    Nx, Ny = grid.Nx, grid.Ny
+
+    core = _window_tendency(cfg, grid, f_ff, ue_loc, ve_loc, tr_loc,
+                            hx, Nx - 2 * hx, hy, Ny - 2 * hy)
+    west = _window_tendency(cfg, grid, f_ff, ue, ve, tr_e, 0, hx, 0, Ny)
+    east = _window_tendency(cfg, grid, f_ff, ue, ve, tr_e, Nx - hx, hx, 0, Ny)
+    south = _window_tendency(cfg, grid, f_ff, ue, ve, tr_e, hx, Nx - 2 * hx, 0, hy)
+    north = _window_tendency(cfg, grid, f_ff, ue, ve, tr_e, hx, Nx - 2 * hx, Ny - hy, hy)
+
+    def assemble(i):
+        mid = jnp.concatenate([south[i], core[i], north[i]], axis=1)
+        return jnp.concatenate([west[i], mid, east[i]], axis=0)
+
+    Gu = assemble(0)
+    Gv = assemble(1)
+    Gtr = {}
+    for k in tr_e:
+        mid = jnp.concatenate([south[2][k], core[2][k], north[2][k]], axis=1)
+        Gtr[k] = jnp.concatenate([west[2][k], mid, east[2][k]], axis=0)
+    return Gu, Gv, Gtr
+
+
 def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restoring=None):
     """Stages 1-5: returns interior tendency arrays (Gu, Gv, Geta, {Gc}).
 
@@ -241,8 +315,35 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             grid,
         )
 
+    use_split = (
+        cfg.overlap_split
+        and comm is not None
+        and cfg.kernels in ("jnp", "auto")
+        and grid.Nx > 2 * grid.hx
+        and grid.Ny > 2 * grid.hy
+    )
     if cfg.kernels == "pallas" or (cfg.kernels == "auto" and pallas_supported(cfg, grid, ue)):
         Gu, Gv, Gtr = pallas_tendencies(cfg, grid_c, f_c, ue_c, ve_c, tr_c)
+    elif use_split:
+        # comm/compute overlap: core tendencies from a local-only extension
+        # (no ppermute in their dependency cone), strips from the exchange
+        ue_l = extend_field(grid, state.u, "u", None)
+        ve_l = extend_field(grid, state.v, "v", None)
+        tr_l = {k: extend_field(grid, c, "c", None) for k, c in state.tracers.items()}
+        if grid.immersed:
+            from gb25_tpu.grids.immersed import immersed_masks
+
+            _, um_l, vm_l = immersed_masks(grid, None)
+            ue_l = ue_l * um_l
+            ve_l = ve_l * vm_l
+        if cfg.compute_dtype is not None:
+            cdt = jnp.dtype(cfg.compute_dtype)
+            ue_l = ue_l.astype(cdt)
+            ve_l = ve_l.astype(cdt)
+            tr_l = {k: v.astype(cdt) for k, v in tr_l.items()}
+        Gu, Gv, Gtr = split_tendency_math(
+            cfg, grid_c, f_c, ue_c, ve_c, tr_c, ue_l, ve_l, tr_l
+        )
     else:
         Gu_e, Gv_e, Gtr_e = tendency_math(cfg, grid_c, f_c, ue_c, ve_c, tr_c)
         Gu = grid.interior(Gu_e)

@@ -1,55 +1,100 @@
-"""z-slab streaming Pallas kernel for the tendency stage.
+"""z-slab streaming Pallas kernel for the tendency stage (transposed layout).
 
-The monolithic fused kernel (ops/pallas_tendency.py) is VMEM-stack-bound:
-Mosaic keeps every tile-sized temporary live, and the WENO temporaries cap
-tiles at 32x8 where the kernel barely beats the XLA array path. This kernel
-bounds live temporaries independently of Nz:
+Round-1 established (PARITY.md known-gaps #1) that the monolithic fused
+kernel is VMEM-stack-bound and that two Mosaic limitations block the obvious
+streaming designs on this stack: ``fori_loop`` + dynamic lane-dim slices
+crashes the compiler, and a python-unrolled chunk loop hangs the remote
+compile service. This design avoids both, and fixes the lane-utilization
+problem that capped the round-1 kernel:
 
-- inputs are whole-column tiles (bx+2hx, by+2hy, Nz+2hz) resident in VMEM
-  (a few MB), but the physics runs inside a ``lax.fori_loop`` over z-chunks
-  of ``bz`` levels, so only ONE (bx+2hx, by+2hy, bz+6)-shaped working set of
-  stencil temporaries is live at any time;
-- the vertical integrals stream through the loop as carries: w (continuity)
-  integrates upward; the hydrostatic pressure uses the precomputed column
-  total of b dz (one cheap fused XLA reduction outside the kernel) minus the
-  running inclusive sum, so both sweeps run in the same upward pass;
-- below-bottom/above-surface window levels are masked, which reproduces
-  exactly the z-extension semantics of the array path (w = 0 below the
-  bottom, zero-gradient above the surface);
-- the per-window physics calls the same ``momentum_tendency_math`` /
-  ``tracer_tendency_math`` as the array backend (with w/p supplied), so the
-  numerics are shared, not duplicated.
+- **Transposed windows.** Fields enter the kernel as (Z, Y, X) arrays, so
+  the large x extent rides the 128-lane dimension (~full lane utilization)
+  and the y extent rides the sublanes; z-stencils are leading-dim shifts
+  (cheap register renames, no intra-vreg shuffles). The physics code is the
+  *same* ``momentum_tendency_math`` / ``tracer_tendency_math`` as the array
+  backend, entered under ``stencils.axis_order(z=0, y=1, x=2)``.
+- **z windows via the pallas grid**, not in-kernel slicing: the grid is
+  (gx, gy, gz) and each field's BlockSpec maps grid step (i, j, k) to an
+  overlapping element-indexed window of W = bz + 2*gz_halo levels. No
+  dynamic slicing, no unrolled body -> small program, fast Mosaic compile.
+- **Vertical integrals as carries in VMEM scratch.** TPU grid steps run
+  sequentially with the last grid dim fastest; two (byh, bxh) scratch
+  buffers carry w (continuity, integrated upward) and the running inclusive
+  sum of b*dz (hydrostatic pressure = csum - column_total - b*dz/2) across
+  z windows, reset at k == 0 via ``pl.when``. The column total of b dz is
+  precomputed outside the kernel (one cheap fused XLA reduction).
+- Below-bottom / above-surface window levels are masked with an in-kernel
+  iota, reproducing exactly the z-extension semantics of the array path
+  (w = 0 below the bottom, zero contribution above the surface).
+
+Reference analog: the raised-kernel tendency pipeline of
+/root/reference/src/model_utils.jl:99-110 and the tendency stage of
+/root/reference/src/precompile.jl:31-42.
 """
 
 from __future__ import annotations
 
 import jax
-import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gb25_tpu.ops.pallas_tendency import _TileGrid, _choose_tile, kernel_cumsum
+from gb25_tpu.ops.pallas_tendency import _choose_tile
+from gb25_tpu.ops.stencils import axis_order
 
 
-def _column_total_b(cfg, grid, tr_e):
-    """(X, Y) column integral of buoyancy * dz over interior z (extended in
-    x/y so every tile window sees its halo columns)."""
-    from gb25_tpu.models.hydrostatic import buoyancy_field
+def cumsum_leading(a):
+    """Inclusive cumulative sum along the leading (z) axis.
 
-    hz, Nz = grid.hz, grid.Nz
-    be = buoyancy_field(cfg, grid, tr_e)
-    bdz = be[:, :, hz : hz + Nz] * grid.dz_c[:, :, hz : hz + Nz]
-    return jnp.sum(bdz, axis=2, keepdims=True)  # (X, Y, 1)
+    Inside the kernel the window depth is small (bz + 6), so an unrolled
+    running sum over leading-dim slices is both cheap (leading-dim indexing
+    selects vregs; each step is one (byh, bxh) VPU add) and bitwise-identical
+    to ``jnp.cumsum``'s sequential order. A rank-3 leading-dim MXU
+    contraction is NOT used: Mosaic's infer-vector-layout rejects the
+    (W, byh, bxh) -> (W, byh*bxh) shape cast it would need (probe-verified
+    on v5e, round 2)."""
+    rows = []
+    acc = jnp.zeros_like(a[0])
+    for k in range(a.shape[0]):
+        acc = acc + a[k]
+        rows.append(acc)
+    return jnp.stack(rows, axis=0)
+
+
+class _TileGridT:
+    """Tile-local grid view over a transposed (z, y, x) VMEM window; same
+    metric attribute surface as the model grids so the shared tendency math
+    runs unchanged (under stencils.axis_order)."""
+
+    def __init__(self, bx, by, bz, halo, dxc, dxf, dyc, dyf, azc, azf,
+                 dz_c, dz_f, z_c):
+        self.Nx, self.Ny, self.Nz = bx, by, bz
+        self.halo = halo  # (hx, hy, gz)
+        self.hx, self.hy, self.hz = halo
+        self.dxc, self.dxf, self.dyc, self.dyf = dxc, dxf, dyc, dyf
+        self.azc, self.azf = azc, azf
+        self.dz_c, self.dz_f, self.z_c = dz_c, dz_f, z_c
+        self.immersed = False
+        self.in_kernel = True
+
+    def interior(self, ext):
+        hx, hy, hz = self.halo
+        return ext[hz : hz + self.Nz, hy : hy + self.Ny, hx : hx + self.Nx]
+
+
+def _t3(a):
+    """(X, Y, Z) -> (Z, Y, X)."""
+    return jnp.transpose(a, (2, 1, 0))
 
 
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
                      interpret=False):
-    """Fused tendency stage with z-slab streaming.
+    """Fused tendency stage with transposed z-slab streaming.
 
     Requires hz >= 3 and Nz % bz == 0. Returns interior (Gu, Gv, {Gc}).
     """
     from gb25_tpu.models.hydrostatic import (
+        buoyancy_field,
         momentum_tendency_math,
         tracer_tendency_math,
     )
@@ -63,47 +108,72 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
     gz = 3  # vertical stencil radius (WENO-5)
     W = bz + 2 * gz  # window depth
 
-    bx = bx or _choose_tile(Nx, 128)
-    by = by or _choose_tile(Ny, 8)
-    gxn, gyn = Nx // bx, Ny // by
-    bxh, byh = bx + 2 * hx, by + 2 * hy
+    bx = bx or _choose_tile(Nx, 512)
+    by = by or _choose_tile(Ny, 16)
+    gxn, gyn, gzn = Nx // bx, Ny // by, Nz // bz
 
-    b_total = _column_total_b(cfg, grid, tr_e)  # (X, Y)
+    # Mosaic requires the last two block dims to be multiples of (8, 128) or
+    # equal to the full array dims. y: by + 2*hy is a multiple of 8 for the
+    # standard by/hy choices. x: widen the window halo with extra *wrap*
+    # columns (x is periodic) until bx + 2*hwx hits a multiple of 128; when
+    # gx == 1 the window spans the full array and needs no padding.
+    if gxn == 1:
+        xpad = 0
+    else:
+        if not grid.x_periodic or (bx + 2 * hx) % 2:
+            raise ValueError("zslab x-window padding needs periodic, even-width x")
+        xpad = (-(bx + 2 * hx)) % 128 // 2
+    hwx = hx + xpad
+    bxh, byh = bx + 2 * hwx, by + 2 * hy
+    if gyn > 1 and byh % 8:
+        raise ValueError(f"by + 2*hy = {byh} must be a multiple of 8")
+
+    def padx(a):  # transposed (Z|1, Y|1, X) -> wrap-pad the x halo to hwx
+        if xpad == 0 or a.shape[2] == 1:
+            return a
+        Xl = a.shape[2]
+        left = a[:, :, Xl - 2 * hx - xpad : Xl - 2 * hx]
+        right = a[:, :, 2 * hx : 2 * hx + xpad]
+        return jnp.concatenate([left, a, right], axis=2)
+
+    # column integral of b dz (extended in x/y so every window sees halos)
+    hzS = slice(hz, hz + Nz)
+    be = buoyancy_field(cfg, grid, tr_e)
+    b_total = jnp.sum(be[:, :, hzS] * grid.dz_c[:, :, hzS], axis=2, keepdims=True)
 
     tracer_names = sorted(tr_e.keys())
     metric_names = ["dxc", "dxf", "dyc", "dyf", "azc", "azf"]
-    metrics = [getattr(grid, m) for m in metric_names] + [f_ff]
+    metrics = [padx(_t3(getattr(grid, m))) for m in metric_names] + [padx(_t3(f_ff))]
     n_fields = 2 + len(tracer_names)
-    n_out = n_fields
 
-    def field_spec():
+    def field_spec():  # (Z, Y, X) overlapping z windows
         return pl.BlockSpec(
-            (pl.Element(bxh), pl.Element(byh), pl.Element(Z)),
-            lambda i, j: (i * bx, j * by, 0), memory_space=pltpu.VMEM,
+            (pl.Element(W), pl.Element(byh), pl.Element(bxh)),
+            lambda i, j, k: (k * bz + hz - gz, j * by, i * bx),
+            memory_space=pltpu.VMEM,
         )
 
-    def spec2d():
-        # trailing dim of 1 keeps Mosaic's trailing-block-dims constraint happy
+    def spec2d():  # (1, Y, X)
         return pl.BlockSpec(
-            (pl.Element(bxh), pl.Element(byh), pl.Element(1)),
-            lambda i, j: (i * bx, j * by, 0), memory_space=pltpu.VMEM,
+            (pl.Element(1), pl.Element(byh), pl.Element(bxh)),
+            lambda i, j, k: (0, j * by, i * bx), memory_space=pltpu.VMEM,
         )
 
-    def metric_spec(m):
-        if m.shape[0] == 1:
+    def metric_spec(m):  # (1, Y, 1-or-X) transposed metrics
+        if m.shape[2] == 1:
             return pl.BlockSpec(
                 (pl.Element(1), pl.Element(byh), pl.Element(1)),
-                lambda i, j: (0, j * by, 0), memory_space=pltpu.VMEM,
+                lambda i, j, k: (0, j * by, 0), memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (pl.Element(bxh), pl.Element(byh), pl.Element(1)),
-            lambda i, j: (i * bx, j * by, 0), memory_space=pltpu.VMEM,
+            (pl.Element(1), pl.Element(byh), pl.Element(bxh)),
+            lambda i, j, k: (0, j * by, i * bx), memory_space=pltpu.VMEM,
         )
 
-    def zrow_spec():
+    def zrow_spec():  # (Z, 1, 1) vertical profiles, windowed like fields
         return pl.BlockSpec(
-            (pl.Element(1), pl.Element(1), pl.Element(Z)),
-            lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM,
+            (pl.Element(W), pl.Element(1), pl.Element(1)),
+            lambda i, j, k: (k * bz + hz - gz, 0, 0), memory_space=pltpu.VMEM,
         )
 
     in_specs = (
@@ -112,100 +182,96 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         + [metric_spec(m) for m in metrics]
         + [zrow_spec() for _ in range(3)]  # dz_c, dz_f, z_c
     )
-    out_spec = pl.BlockSpec((bx, by, Nz), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-
+    out_spec = pl.BlockSpec((bz, by, bx), lambda i, j, k: (k, j, i),
+                            memory_space=pltpu.VMEM)
     n_in = n_fields + 1 + len(metrics) + 3
+    n_out = n_fields
 
     def kernel(*refs):
         ins = refs[:n_in]
-        outs = refs[n_in:]
-        u_ref, v_ref = ins[0], ins[1]
-        tr_refs = {name: ins[2 + k] for k, name in enumerate(tracer_names)}
-        btot = ins[n_fields][:]  # (bxh, byh, 1)
-        mvals = [ins[n_fields + 1 + k][:] for k in range(len(metrics))]
-        dz_c_ref, dz_f_ref, z_c_ref = ins[n_in - 3], ins[n_in - 2], ins[n_in - 1]
+        outs = refs[n_in : n_in + n_out]
+        w_scr, c_scr = refs[n_in + n_out], refs[n_in + n_out + 1]
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _init():
+            w_scr[...] = jnp.zeros((byh, bxh), dtype)
+            c_scr[...] = jnp.zeros((byh, bxh), dtype)
+
+        uw = ins[0][:]
+        vw = ins[1][:]
+        trw = {name: ins[2 + t][:] for t, name in enumerate(tracer_names)}
+        btot = ins[n_fields][:]  # (1, byh, bxh)
+        mvals = [ins[n_fields + 1 + t][:] for t in range(len(metrics))]
+        dz_cw, dz_fw, z_cw = (ins[n_in - 3][:], ins[n_in - 2][:], ins[n_in - 1][:])
         f_tile = mvals[6]
 
-        # NOTE: the chunk loop is python-unrolled with STATIC z-slices:
-        # fori_loop + dynamic lane-dimension slices crashes the Mosaic
-        # compiler on v5e (probe-verified), while unrolled static slices
-        # compile; the stores between iterations give the register allocator
-        # sequencing points to recycle the window temporaries.
-        def chunk(kc, carry):
-            w_car, csum_car = carry  # (bxh, byh) each
-            k0 = kc * bz
-            zwin = slice(hz + k0 - gz, hz + k0 - gz + W)
+        # window validity mask: level k*bz - gz + r is interior iff in [0, Nz)
+        lvl = jax.lax.broadcasted_iota(jnp.int32, (W, 1, 1), 0) + (k * bz - gz)
+        valid = ((lvl >= 0) & (lvl < Nz)).astype(dtype)
 
-            uw = u_ref[:, :, zwin]
-            vw = v_ref[:, :, zwin]
-            trw = {name: r[:, :, zwin] for name, r in tr_refs.items()}
-            dz_cw = dz_c_ref[:, :, zwin]
-            dz_fw = dz_f_ref[:, :, zwin]
-            z_cw = z_c_ref[:, :, zwin]
-
-            tile = _TileGrid(
-                bx, by, bz, (hx, hy, gz),
+        with axis_order(x=2, y=1, z=0):
+            tile = _TileGridT(
+                bx, by, bz, (hwx, hy, gz),
                 dxc=mvals[0], dxf=mvals[1], dyc=mvals[2], dyf=mvals[3],
                 azc=mvals[4], azf=mvals[5],
                 dz_c=dz_cw, dz_f=dz_fw, z_c=z_cw,
             )
 
-            # validity mask built from an in-kernel iota (captured host
-            # constants are rejected by pallas_call)
-            lvl = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2) + (k0 - gz)
-            valid = ((lvl >= 0) & (lvl < Nz)).astype(dtype)
-
-            # buoyancy + pressure: p = inclusive_csum - total - 0.5 b dz
-            # (dp/dz = b integrated down from p(surface)=0; see
-            # ops/operators.py::hydrostatic_pressure)
-            from gb25_tpu.models.hydrostatic import buoyancy_field
-
+            # buoyancy + hydrostatic pressure: p = csum - total - 0.5 b dz
+            # (dp/dz = b integrated down from p(surface) = 0)
             bw = buoyancy_field(cfg, tile, trw)
             bdz = bw * dz_cw * valid
-            csum_inc = csum_car[:, :, None] + kernel_cumsum(bdz)
+            csum_inc = c_scr[...][None] + cumsum_leading(bdz)
             pw = csum_inc - btot - 0.5 * bdz
 
-            # continuity: w at window faces (face c = bottom of window cell c)
+            # continuity: w at the bottom face of each window cell
             div = horizontal_divergence(tile, uw, vw) * valid
             ddz = div * dz_cw
-            w_exc = kernel_cumsum(ddz) - ddz  # exclusive cumsum
-            ww = w_car[:, :, None] - w_exc
+            w_exc = cumsum_leading(ddz) - ddz  # exclusive
+            ww = w_scr[...][None] - w_exc
 
-            Gu_w, Gv_w = momentum_tendency_math(cfg, tile, f_tile, uw, vw, we=ww, pe=pw)
+            Gu_w, Gv_w = momentum_tendency_math(cfg, tile, f_tile, uw, vw,
+                                                we=ww, pe=pw)
             Gtr_w = tracer_tendency_math(cfg, tile, uw, vw, we=ww, tr_e=trw)
 
-            zout = slice(k0, k0 + bz)
-            outs[0][:, :, zout] = tile.interior(Gu_w)
-            outs[1][:, :, zout] = tile.interior(Gv_w)
-            for k, name in enumerate(tracer_names):
-                outs[2 + k][:, :, zout] = tile.interior(Gtr_w[name])
+            outs[0][...] = tile.interior(Gu_w)
+            outs[1][...] = tile.interior(Gv_w)
+            for t, name in enumerate(tracer_names):
+                outs[2 + t][...] = tile.interior(Gtr_w[name])
 
-            # carries advance by bz levels: next window's face 0 is the
-            # current window's face bz; next csum_below covers cells < bz
-            w_car_new = ww[:, :, bz]
-            csum_car_new = csum_inc[:, :, bz - 1]
-            return (w_car_new, csum_car_new)
+        # advance carries by bz levels: next window's face 0 is this window's
+        # face bz; next csum covers cells < its first level
+        w_scr[...] = ww[bz]
+        c_scr[...] = csum_inc[bz - 1]
 
-        carry = (jnp.zeros((bxh, byh), dtype), jnp.zeros((bxh, byh), dtype))
-        for kc in range(Nz // bz):
-            carry = chunk(kc, carry)
-
-    out_shapes = [jax.ShapeDtypeStruct((Nx, Ny, Nz), dtype) for _ in range(n_out)]
+    out_shapes = [jax.ShapeDtypeStruct((Nz, Ny, Nx), dtype) for _ in range(n_out)]
+    flops_per_cell = 600 if cfg.tracer_advection == "weno5" else 200
     outs = pl.pallas_call(
         kernel,
-        grid=(gxn, gyn),
+        grid=(gxn, gyn, gzn),
         in_specs=in_specs,
         out_specs=[out_spec] * n_out,
         out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((byh, bxh), dtype),
+            pltpu.VMEM((byh, bxh), dtype),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * Nx * Ny * Nz,
+            bytes_accessed=(n_fields + n_out) * Nx * Ny * Nz * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
         ),
         interpret=interpret,
     )(
-        ue, ve, *[tr_e[n] for n in tracer_names], b_total,
-        *metrics, grid.dz_c, grid.dz_f, grid.z_c,
+        padx(_t3(ue)), padx(_t3(ve)),
+        *[padx(_t3(tr_e[n])) for n in tracer_names], padx(_t3(b_total)),
+        *metrics, _t3(grid.dz_c), _t3(grid.dz_f), _t3(grid.z_c),
     )
 
-    Gu, Gv = outs[0], outs[1]
-    Gtr = {name: outs[2 + k] for k, name in enumerate(tracer_names)}
+    Gu, Gv = _t3(outs[0]), _t3(outs[1])
+    Gtr = {name: _t3(outs[2 + t]) for t, name in enumerate(tracer_names)}
     return Gu, Gv, Gtr

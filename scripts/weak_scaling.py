@@ -11,9 +11,12 @@ import sys, os, time, json, argparse
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_once(n, tile, Nz, steps, dtype_name):
+def run_once(n, tile, Nz, steps, dtype_name, overlap=True):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
+    from gb25_tpu.analysis.comm import collective_permute_stats
     from gb25_tpu.grids import simple_latitude_longitude_grid
     from gb25_tpu.models import baroclinic_instability_state, baroclinic_instability_config
     from gb25_tpu.parallel import factors, make_mesh, shard_state, sharded_step_fn
@@ -22,11 +25,17 @@ def run_once(n, tile, Nz, steps, dtype_name):
     rx, ry = factors(n)
     Nx, Ny = tile * rx, tile * ry
     grid = simple_latitude_longitude_grid(Nx, Ny, Nz, dtype=dtype)
-    cfg = baroclinic_instability_config()
+    cfg = dataclasses.replace(baroclinic_instability_config(), overlap_split=overlap)
     state = shard_state(baroclinic_instability_state(grid), make_mesh(n, shape=(rx, ry)))
     mesh = make_mesh(n, shape=(rx, ry))
     fn = sharded_step_fn(cfg, grid, mesh, n_inner=steps)
     dt = jnp.asarray(1.0, dtype)
+
+    # static comm accounting from the compiled program (VERDICT r1 item 8):
+    # per-step collective-permute count + bytes per device
+    hlo = fn.lower(state, dt).compile().as_text()
+    comm = collective_permute_stats(hlo)
+
     s = fn(state, dt)  # compile + warm
     jax.block_until_ready(s)
     t0 = time.perf_counter()
@@ -37,6 +46,9 @@ def run_once(n, tile, Nz, steps, dtype_name):
         "devices": n, "mesh": [rx, ry], "global": [Nx, Ny, Nz],
         "seconds": el, "ms_per_step": 1e3 * el / steps,
         "cell_steps_per_sec_per_device": Nx * Ny * Nz * steps / el / n,
+        "overlap_split": overlap,
+        "permutes_per_step": comm.permute_count,
+        "comm_bytes_per_step_per_device": comm.bytes_per_step,
     }
 
 
@@ -49,6 +61,11 @@ def main():
     p.add_argument("--counts", default="1,2,4,8")
     p.add_argument("--virtual-cpu", action="store_true",
                    help="force N virtual CPU devices (dev-box validation)")
+    p.add_argument("--ablate-overlap", action="store_true",
+                   help="also run with overlap_split=False (reference analog: "
+                        "the optimize_communications ablation, sharded_..._run.jl:109-112)")
+    p.add_argument("--project-chips", default="8,16,32,64,128,256",
+                   help="chip counts for the ICI weak-scaling projection")
     args = p.parse_args()
     counts = [int(c) for c in args.counts.split(",")]
 
@@ -58,15 +75,43 @@ def main():
         force_virtual_cpu_devices(max(counts))
 
     results = [run_once(n, args.tile, args.Nz, args.steps, args.dtype) for n in counts]
+    if args.ablate_overlap:
+        results += [run_once(n, args.tile, args.Nz, args.steps, args.dtype,
+                             overlap=False) for n in counts]
     base = results[0]["cell_steps_per_sec_per_device"]
-    print(f"{'devs':>5} {'mesh':>8} {'global':>18} {'s/loop':>8} {'ms/step':>8} {'eff':>6}")
+    print(f"{'devs':>5} {'mesh':>8} {'global':>18} {'s/loop':>8} {'ms/step':>8} "
+          f"{'eff':>6} {'ovl':>4} {'perm/st':>8} {'KB/st/dev':>10}")
     for r in results:
         eff = r["cell_steps_per_sec_per_device"] / base
         r["efficiency"] = eff
         print(f"{r['devices']:>5} {str(r['mesh']):>8} {str(r['global']):>18} "
-              f"{r['seconds']:>8.2f} {r['ms_per_step']:>8.2f} {eff:>6.3f}")
+              f"{r['seconds']:>8.2f} {r['ms_per_step']:>8.2f} {eff:>6.3f} "
+              f"{str(r['overlap_split'])[0]:>4} {r['permutes_per_step']:>8} "
+              f"{r['comm_bytes_per_step_per_device'] / 1e3:>10.1f}")
+
+    # ICI projection at pod scale (fixed tile => constant bytes/step/device)
+    from gb25_tpu.analysis.comm import CommStats, project_weak_scaling
+
+    last = results[len(counts) - 1]
+    stats = CommStats(permute_count=last["permutes_per_step"],
+                      bytes_per_step=int(last["comm_bytes_per_step_per_device"]),
+                      trip_count=None, per_op=[])
+    chips = [int(c) for c in args.project_chips.split(",")]
+    projection = {}
+    print("\nICI weak-scaling projection (per-device tile fixed):")
+    print(f"{'chips':>6} {'overlap eff':>12} {'ablated eff':>12} {'comm ms/step':>13}")
+    for ovl in (True, False):
+        projection["overlap" if ovl else "ablated"] = project_weak_scaling(
+            last["ms_per_step"], stats, chip_counts=chips, overlap=ovl)
+    for n in chips:
+        po = projection["overlap"][n]
+        pa = projection["ablated"][n]
+        print(f"{n:>6} {po['efficiency']:>12.3f} {pa['efficiency']:>12.3f} "
+              f"{po['comm_ms']:>13.3f}")
+
+    out = {"runs": results, "projection": projection}
     with open("weak_scaling_results.json", "w") as f:
-        json.dump(results, f, indent=1)
+        json.dump(out, f, indent=1)
     print("wrote weak_scaling_results.json")
 
 
