@@ -81,9 +81,16 @@ def compute_interface_fluxes(ccfg: CoupledConfig, grid, atmos, state, comm=None)
     taux_u = _crop2(grid, i_f(_extend2(grid, taux_c, "c", comm), "x"))
     tauy_v = _crop2(grid, i_f(_extend2(grid, tauy_c, "c", comm), "y"))
 
-    return {"u": taux_u, "v": tauy_v, "T": T_flux, "S": S_flux}, {
-        "Q_net": Q_net, **turb
-    }
+    fluxes = {"u": taux_u, "v": tauy_v, "T": T_flux, "S": S_flux}
+
+    # CATKE surface TKE injection from the friction velocity (the closure's
+    # surface boundary condition; see models/catke.py::surface_tke_flux)
+    if isinstance(ccfg.ocean.closure, CATKEVerticalDiffusivity):
+        from gb25_tpu.models.catke import surface_tke_flux
+
+        fluxes["e"] = surface_tke_flux(ccfg.ocean.closure, taux_c, tauy_c)
+
+    return fluxes, {"Q_net": Q_net, **turb}
 
 
 def coupled_time_step(ccfg: CoupledConfig, grid, atmos, state, dt, comm=None):

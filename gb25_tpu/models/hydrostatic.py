@@ -275,13 +275,14 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     G_eps_source = None
     if isinstance(cfg.closure, CATKEVerticalDiffusivity):
         be = buoyancy_field(cfg, grid, tr_e)
-        kap_u_e, kap_c_e, kap_e_e, G_e_ext = catke_diffusivities(
+        kap_u_e, kap_c_e, kap_e_e, G_e_ext, lam_e_ext = catke_diffusivities(
             cfg.closure, grid, ue, ve, be, tr_e["e"]
         )
         diffusivities = {
             "kappa_u": grid.interior(kap_u_e),
             "kappa_c": grid.interior(kap_c_e),
             "kappa_e": grid.interior(kap_e_e),
+            "lam_e": grid.interior(lam_e_ext),
         }
         G_e_source = grid.interior(G_e_ext)
     elif isinstance(cfg.closure, TKEDissipationVerticalDiffusivity):
@@ -471,11 +472,13 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         dzf = grid.dz_f[:, :, hz : hz + Nz]
         ku, kc = diffusivities["kappa_u"], diffusivities["kappa_c"]
         special = {"e": diffusivities.get("kappa_e"), "eps": diffusivities.get("kappa_eps")}
+        damping = {"e": diffusivities.get("lam_e")}  # implicit TKE dissipation
         u_new = implicit_vertical_diffusion(u_new, ku, dt, dzc, dzf)
         v_new = implicit_vertical_diffusion(v_new, ku, dt, dzc, dzf)
         tracers = {
             k: implicit_vertical_diffusion(
-                c, special.get(k) if special.get(k) is not None else kc, dt, dzc, dzf
+                c, special.get(k) if special.get(k) is not None else kc, dt, dzc, dzf,
+                damping=damping.get(k),
             )
             for k, c in tracers.items()
         }

@@ -259,6 +259,10 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # Mosaic's default scoped-VMEM limit is 16 MB; v5e has 128 MB of
+            # VMEM and this kernel's live window temporaries (~40 x the
+            # (W, byh, bxh) window) need more at useful tile sizes
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * Nx * Ny * Nz,

@@ -52,10 +52,15 @@ def solve_tridiagonal(a, b, c, d):
     return jnp.moveaxis(xs, 0, -1)
 
 
-def implicit_vertical_diffusion(field, kappa_face, dt, dz_c, dz_f):
+def implicit_vertical_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None):
     """Backward-Euler vertical diffusion solve on interior-only arrays.
 
-    Solves (I - dt d/dz kappa d/dz) psi_new = psi with zero-flux top/bottom.
+    Solves (I + dt*damping - dt d/dz kappa d/dz) psi_new = psi with zero-flux
+    top/bottom. ``damping`` (optional, per-cell rate >= 0, 1/s) adds a linear
+    implicit decay term — used for the stiff TKE dissipation in CATKE/k-eps
+    (explicit e^{3/2} dissipation overshoots at long dt; treating it as an
+    implicit linearized decay lam = C_D sqrt(e)/ell is the standard cure and
+    what the reference's closures do).
 
     field:      (Nx, Ny, Nz) interior array
     kappa_face: diffusivity at z-faces, broadcastable to (Nx, Ny, Nz);
@@ -81,4 +86,6 @@ def implicit_vertical_diffusion(field, kappa_face, dt, dz_c, dz_f):
     a = -lam
     c = -mu
     b = 1.0 + lam + mu
+    if damping is not None:
+        b = b + dt * damping
     return solve_tridiagonal(a, b, c, field)
