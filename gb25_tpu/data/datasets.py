@@ -47,13 +47,27 @@ def _regrid2d(src_lon, src_lat, field, dst_lon, dst_lat):
             + (1 - wx) * wy * f01 + wx * wy * f11)
 
 
+def _is_netcdf(path):
+    if not os.path.exists(path):
+        return False
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    return magic[:3] == b"CDF" or magic == b"\x89HDF"
+
+
 def regrid_bathymetry(grid, path):
     """Regrid a bathymetry dataset onto the model grid and attach it
-    (reference: regrid_bathymetry from ETOPO1)."""
+    (reference: regrid_bathymetry from ETOPO1). Accepts the converted
+    ``.npz`` contract or a NetCDF file directly (ETOPO variable names)."""
     from gb25_tpu.grids.immersed import with_bathymetry
 
-    with np.load(path) as d:
-        lon, lat, z = d["lon"], d["lat"], d["z"]
+    if _is_netcdf(path):
+        from gb25_tpu.data.netcdf import load_bathymetry_nc
+
+        lon, lat, z = load_bathymetry_nc(path)
+    else:
+        with np.load(path) as d:
+            lon, lat, z = d["lon"], d["lat"], d["z"]
     dlon, dlat = _dst_coords(grid)
     bh = _regrid2d(lon, lat, z, dlon, dlat)
     return with_bathymetry(grid, jnp.asarray(np.minimum(bh, 0.0), grid.dtype))
@@ -81,9 +95,16 @@ def climatology_restoring(grid, path=None, rate=1.0 / (7 * 86400.0), mask=None,
     dlon, dlat = _dst_coords(grid)
     zc = np.asarray(grid.z_c_i)
     if path is not None and os.path.exists(path):
-        with np.load(path) as d:
+        if _is_netcdf(path):
+            from gb25_tpu.data.netcdf import load_climatology_nc
+
+            d = load_climatology_nc(path)
             lon, lat, zl = d["lon"], d["lat"], d["z_levels"]
             Tsrc, Ssrc = d["T"], d["S"]
+        else:
+            with np.load(path) as d:
+                lon, lat, zl = d["lon"], d["lat"], d["z_levels"]
+                Tsrc, Ssrc = d["T"], d["S"]
         # horizontal regrid per level then linear interp in z
         T = np.stack([_regrid2d(lon, lat, Tsrc[..., k], dlon, dlat)
                       for k in range(len(zl))], axis=-1)
@@ -137,9 +158,16 @@ def file_prescribed_atmosphere(grid, path, dtype=None):
     """PrescribedAtmosphere from a converted dataset file (reference:
     JRA55PrescribedAtmosphere with a NetCDF backend)."""
     dtype = dtype or grid.dtype
-    with np.load(path) as d:
+    if _is_netcdf(path):
+        from gb25_tpu.data.netcdf import load_atmosphere_nc
+
+        d = load_atmosphere_nc(path)
         lon, lat, times = d["lon"], d["lat"], d["times"]
         fields = {k: d[k] for k in ("Ta", "ua", "va", "qa", "Qsw", "Qlw", "pa") if k in d}
+    else:
+        with np.load(path) as d:
+            lon, lat, times = d["lon"], d["lat"], d["times"]
+            fields = {k: d[k] for k in ("Ta", "ua", "va", "qa", "Qsw", "Qlw", "pa") if k in d}
     dlon, dlat = _dst_coords(grid)
     ix0, ix1, wx, iy0, iy1, wy = _bilinear_weights(lon, lat, dlon, dlat)
     period = float(times[-1] + (times[1] - times[0]) - times[0]) if len(times) > 1 else 86400.0
