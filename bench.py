@@ -68,6 +68,10 @@ def main():
                         "(MultiFloat analog; f32 state)")
     p.add_argument("--no-bf16-row", action="store_true",
                    help="skip the bf16-compute companion measurement")
+    p.add_argument("--kernels", default="auto",
+                   choices=["auto", "zslab", "pallas", "jnp"],
+                   help="tendency backend ablation (auto = z-slab Pallas "
+                        "kernel on TPU, XLA array ops elsewhere)")
     args = p.parse_args()
 
     from gb25_tpu.grids import simple_latitude_longitude_grid
@@ -85,6 +89,8 @@ def main():
     cfg = baroclinic_instability_config()
     if args.compute_dtype:
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
+    if args.kernels != "auto":
+        cfg = dataclasses.replace(cfg, kernels=args.kernels)
     state = baroclinic_instability_state(grid)
 
     import numpy as _np
@@ -107,23 +113,36 @@ def main():
 
     # HBM accounting: bytes accessed per step from XLA's own cost model when
     # available, else the measured-pass estimate (~170 full-array passes/step
-    # on the array path, ops/pallas_tendency.py:6-7 analysis)
+    # on the array path, ops/pallas_tendency.py:6-7 analysis).  When the
+    # z-slab Pallas kernel carries the tendency stage, XLA's cost model no
+    # longer sees its internal traffic, so use the pass model instead:
+    # 4 prognostic fields read with 1.75x z-window overlap + 4 tendency
+    # writes in the kernel, plus ~45 full-array passes for the rest of the
+    # step (AB2 update, split-explicit substeps, halos, diagnostics).
+    from gb25_tpu.ops.pallas_zslab import zslab_supported
+
+    uses_zslab = cfg.kernels in ("zslab",) or (
+        cfg.kernels == "auto" and zslab_supported(cfg, grid, state.u)
+    )
     bytes_per_step = None
-    try:
-        c = lp.lower(cfg, grid, state, jnp.asarray(args.dt, dtype), args.steps).compile()
-        ca = c.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        if ca and "bytes accessed" in ca:
-            bytes_per_step = float(ca["bytes accessed"]) / args.steps
-    except Exception:
-        pass
+    if not uses_zslab:
+        try:
+            c = lp.lower(cfg, grid, state, jnp.asarray(args.dt, dtype), args.steps).compile()
+            ca = c.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            if ca and "bytes accessed" in ca:
+                bytes_per_step = float(ca["bytes accessed"]) / args.steps
+        except Exception:
+            pass
     if bytes_per_step is None:
-        bytes_per_step = 170 * cells * jnp.dtype(dtype).itemsize
+        passes = 56 if uses_zslab else 170
+        bytes_per_step = passes * cells * jnp.dtype(dtype).itemsize
     hbm_gbs = bytes_per_step * args.steps / elapsed / 1e9
     peak = peak_hbm_gbs()
 
     extra = {
         "ms_per_step": round(ms_per_step, 2),
+        "kernels": "zslab" if uses_zslab else cfg.kernels,
         "hbm_gbs_est": round(hbm_gbs, 1),
         "hbm_pct_peak": round(100.0 * hbm_gbs / peak, 1) if peak else None,
         "steps": args.steps,

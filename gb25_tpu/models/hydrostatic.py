@@ -34,6 +34,12 @@ from gb25_tpu.models.config import (
 from gb25_tpu.models.free_surface import barotropic_substep, explicit_eta_tendency
 from gb25_tpu.models.state import HydrostaticState
 from gb25_tpu.ops.halos import extend_field, extend_field_xy
+from gb25_tpu.ops.multifloat import (
+    mf_broadcast_to,
+    mf_concatenate,
+    mf_zeros_like,
+    wrap_compute,
+)
 from gb25_tpu.ops.operators import (
     coriolis_ff,
     diagnose_w,
@@ -103,7 +109,7 @@ def momentum_tendency_math(cfg, grid, f_ff, ue, ve, we=None, pe=None, tr_e=None)
     if pe is None:
         pe = hydrostatic_pressure(grid, buoyancy_field(cfg, grid, tr_e))
 
-    q = jnp.broadcast_to(f_ff, ue.shape)
+    q = mf_broadcast_to(f_ff, ue.shape)
     if cfg.momentum_advection in ("weno_vector_invariant", "vector_invariant"):
         q = q + vertical_vorticity(grid, ue, ve)
 
@@ -145,7 +151,7 @@ def tracer_tendency_math(cfg, grid, ue, ve, we=None, tr_e=None):
     Gtr = {}
     for name, ce in tr_e.items():
         if cfg.tracer_advection == "none":
-            Gtr[name] = jnp.zeros_like(ce)
+            Gtr[name] = mf_zeros_like(ce)
             continue
         if cfg.tracer_advection == "weno5":
             cx = weno5_upwind(ce, ue, "x", eps=eps)
@@ -223,15 +229,15 @@ def split_tendency_math(cfg, grid, f_ff, ue, ve, tr_e, ue_loc, ve_loc, tr_loc):
     north = _window_tendency(cfg, grid, f_ff, ue, ve, tr_e, hx, Nx - 2 * hx, Ny - hy, hy)
 
     def assemble(i):
-        mid = jnp.concatenate([south[i], core[i], north[i]], axis=1)
-        return jnp.concatenate([west[i], mid, east[i]], axis=0)
+        mid = mf_concatenate([south[i], core[i], north[i]], axis=1)
+        return mf_concatenate([west[i], mid, east[i]], axis=0)
 
     Gu = assemble(0)
     Gv = assemble(1)
     Gtr = {}
     for k in tr_e:
-        mid = jnp.concatenate([south[2][k], core[2][k], north[2][k]], axis=1)
-        Gtr[k] = jnp.concatenate([west[2][k], mid, east[2][k]], axis=0)
+        mid = mf_concatenate([south[2][k], core[2][k], north[2][k]], axis=1)
+        Gtr[k] = mf_concatenate([west[2][k], mid, east[2][k]], axis=0)
     return Gu, Gv, Gtr
 
 
@@ -304,7 +310,21 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     from gb25_tpu.ops.pallas_tendency import pallas_supported, pallas_tendencies
 
     ue_c, ve_c, tr_c, f_c, grid_c = ue, ve, tr_e, f_ff, grid
-    if cfg.compute_dtype is not None:
+    multifloat = cfg.compute_dtype in ("bf16x2", "f32x2")
+    if multifloat:
+        # two-limb emulated precision (MultiFloatOptions limbs=2 analog,
+        # reference arg_parsing.jl:99-107): f32x2 ~ emulated f64 via
+        # error-free transforms, bf16x2 ~ paired-bf16 storage limbs
+        def wr(x):
+            return wrap_compute(x, cfg.compute_dtype)
+
+        ue_c, ve_c, f_c = wr(ue), wr(ve), wr(f_ff)
+        tr_c = {k: wr(v) for k, v in tr_e.items()}
+        grid_c = jax.tree_util.tree_map(
+            lambda x: wr(x) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            grid,
+        )
+    elif cfg.compute_dtype is not None:
         # precision-lowered tendency computation (MultiFloat analog)
         cdt = jnp.dtype(cfg.compute_dtype)
         ue_c = ue.astype(cdt)
@@ -323,7 +343,21 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         and grid.Nx > 2 * grid.hx
         and grid.Ny > 2 * grid.hy
     )
-    if cfg.kernels == "pallas" or (cfg.kernels == "auto" and pallas_supported(cfg, grid, ue)):
+    from gb25_tpu.ops.pallas_zslab import zslab_supported, zslab_tendencies
+
+    use_zslab = not multifloat and (
+        cfg.kernels == "zslab"
+        or (cfg.kernels == "auto" and comm is None
+            and zslab_supported(cfg, grid, ue_c))
+    )
+    if use_zslab:
+        # TPU default fast path: transposed z-slab streaming Pallas kernel
+        # (2.3x the XLA array path on v5e at the flagship grid)
+        Gu, Gv, Gtr = zslab_tendencies(cfg, grid_c, f_c, ue_c, ve_c, tr_c)
+    elif not multifloat and (
+        cfg.kernels == "pallas"
+        or (cfg.kernels == "auto" and pallas_supported(cfg, grid, ue))
+    ):
         Gu, Gv, Gtr = pallas_tendencies(cfg, grid_c, f_c, ue_c, ve_c, tr_c)
     elif use_split:
         # comm/compute overlap: core tendencies from a local-only extension
@@ -337,7 +371,11 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             _, um_l, vm_l = immersed_masks(grid, None)
             ue_l = ue_l * um_l
             ve_l = ve_l * vm_l
-        if cfg.compute_dtype is not None:
+        if multifloat:
+            ue_l = wrap_compute(ue_l, cfg.compute_dtype)
+            ve_l = wrap_compute(ve_l, cfg.compute_dtype)
+            tr_l = {k: wrap_compute(v, cfg.compute_dtype) for k, v in tr_l.items()}
+        elif cfg.compute_dtype is not None:
             cdt = jnp.dtype(cfg.compute_dtype)
             ue_l = ue_l.astype(cdt)
             ve_l = ve_l.astype(cdt)

@@ -123,7 +123,9 @@ def _horner_2d(ss, tt, coeffs_k):
 def rho_anomaly_teos10(S, T, z):
     """In-situ Boussinesq density r'(S,T,z) [kg/m^3] (without the vertical
     reference profile r0). polyTEOS10_bsq 'rdot'."""
-    ss = jnp.sqrt((S + _DELTAS) / _SAU)
+    from gb25_tpu.ops.multifloat import mf_sqrt
+
+    ss = mf_sqrt((S + _DELTAS) / _SAU)
     tt = T / _CTU
     zz = -z / _ZU
     by_k = {}

@@ -13,6 +13,13 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from gb25_tpu.ops.multifloat import (
+    is_twofloat,
+    mf_concatenate,
+    mf_cumsum,
+    mf_sum,
+    mf_zeros_like,
+)
 from gb25_tpu.ops.stencils import dx_c, dx_f, dy_c, dy_f, ix_c, iy_c
 
 
@@ -44,11 +51,11 @@ def kinetic_energy(u, v):
 def _zcumsum(grid, a):
     """Inclusive cumulative sum along z; inside Pallas kernels (no cumsum
     lowering) this becomes a triangular-matrix MXU contraction."""
-    if getattr(grid, "in_kernel", False):
+    if getattr(grid, "in_kernel", False) and not is_twofloat(a):
         from gb25_tpu.ops.pallas_tendency import kernel_cumsum
 
         return kernel_cumsum(a, inclusive=True)
-    return jnp.cumsum(a, axis=2)
+    return mf_cumsum(a, axis=2)
 
 
 def diagnose_w(grid, u, v):
@@ -64,12 +71,12 @@ def diagnose_w(grid, u, v):
     div_int = div[:, :, hz : hz + Nz] * grid.dz_c[:, :, hz : hz + Nz]
     # w at bottom face of interior cell k: -(sum of div*dz below k)
     wcum = _zcumsum(grid, div_int)
-    w_int = jnp.concatenate([jnp.zeros_like(wcum[:, :, :1]), -wcum[:, :, :-1]], axis=2)
+    w_int = mf_concatenate([mf_zeros_like(wcum[:, :, :1]), -wcum[:, :, :-1]], axis=2)
     w_top = -wcum[:, :, -1:]  # w at the surface face (= d(eta)/dt forcing)
     # re-extend in z: zeros below bottom; surface value then zero-gradient above
-    below = [jnp.zeros_like(w_int[:, :, :1])] * hz
+    below = [mf_zeros_like(w_int[:, :, :1])] * hz
     above = [w_top] * hz
-    return jnp.concatenate(below + [w_int] + above, axis=2)
+    return mf_concatenate(below + [w_int] + above, axis=2)
 
 
 def hydrostatic_pressure(grid, b):
@@ -86,12 +93,12 @@ def hydrostatic_pressure(grid, b):
     hz, Nz = grid.hz, grid.Nz
     bdz = b[:, :, hz : hz + Nz] * grid.dz_c[:, :, hz : hz + Nz]
     # negated reversed cumulative sum excluding own layer + half own layer
-    total = jnp.sum(bdz, axis=2, keepdims=True)
+    total = mf_sum(bdz, axis=2, keepdims=True)
     csum = _zcumsum(grid, bdz)
     p_int = csum - total - 0.5 * bdz
     below = [p_int[:, :, :1]] * hz
     above = [p_int[:, :, -1:]] * hz
-    return jnp.concatenate(below + [p_int] + above, axis=2)
+    return mf_concatenate(below + [p_int] + above, axis=2)
 
 
 def barotropic_transport(grid, u, v):

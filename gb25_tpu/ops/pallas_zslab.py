@@ -87,6 +87,39 @@ def _t3(a):
     return jnp.transpose(a, (2, 1, 0))
 
 
+def zslab_supported(cfg, grid, ue) -> bool:
+    """True when the z-slab kernel can run this configuration on this
+    backend.  On-TPU timing (v5e, 1536x768x64 f32): 75 ms vs 176 ms for the
+    XLA array path (2.3x), so "auto" prefers it on TPU; opt out with
+    GB25_DISABLE_PALLAS=1."""
+    import os
+
+    if int(os.environ.get("GB25_DISABLE_PALLAS", "0")):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if ue.dtype != jnp.float32:
+        # bf16 blocks need (16, 128)-multiple tiles (byh = by + 2*hy is
+        # tuned for f32's (8, 128)); bf16 compute falls back to the array path
+        return False
+    if cfg.tracer_advection not in ("weno5", "centered2", "upwind1", "none"):
+        return False
+    if cfg.momentum_advection not in (
+        "weno_vector_invariant", "vector_invariant", "none",
+    ):
+        return False
+    if grid.hz < 3 or grid.Nz % _choose_tile(grid.Nz, 8) != 0:
+        return False
+    # x window: either the whole (extended) x extent fits one VMEM window,
+    # or the grid is x-periodic so interior windows can wrap-pad to 128 lanes
+    if grid.Nx + 2 * grid.hx > 4096 and not grid.x_periodic:
+        return False
+    # tiny grids: window halos would dominate
+    if grid.Nx < 128 or grid.Ny < 32:
+        return False
+    return True
+
+
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
                      interpret=False):
     """Fused tendency stage with transposed z-slab streaming.
@@ -108,7 +141,11 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
     gz = 3  # vertical stencil radius (WENO-5)
     W = bz + 2 * gz  # window depth
 
-    bx = bx or _choose_tile(Nx, 512)
+    # Default tiles (v5e sweep, 1536x768x64: 75 ms at gx=1/by=16/bz=8 vs
+    # 94 ms at bx=512): prefer a single full-width x window — no wrap
+    # padding, whole lanes — whenever its VMEM footprint allows.
+    if bx is None:
+        bx = Nx if Nx + 2 * hx <= 4096 else _choose_tile(Nx, 512)
     by = by or _choose_tile(Ny, 16)
     gxn, gyn, gzn = Nx // bx, Ny // by, Nz // bz
 

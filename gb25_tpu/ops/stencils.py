@@ -21,6 +21,8 @@ import contextlib
 
 import jax.numpy as jnp
 
+from gb25_tpu.ops.multifloat import mf_roll
+
 _AXIS = {"x": 0, "y": 1, "z": 2}
 
 
@@ -48,14 +50,14 @@ def sm(a, axis, n=1):
     """Value at index ``i - n`` along axis (shift 'minus')."""
     if n == 0:
         return a
-    return jnp.roll(a, n, axis=_AXIS[axis])
+    return mf_roll(a, n, axis=_AXIS[axis])
 
 
 def sp(a, axis, n=1):
     """Value at index ``i + n`` along axis (shift 'plus')."""
     if n == 0:
         return a
-    return jnp.roll(a, -n, axis=_AXIS[axis])
+    return mf_roll(a, -n, axis=_AXIS[axis])
 
 
 # --- differences ---

@@ -20,8 +20,7 @@ by the sign of the advecting velocity.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
+from gb25_tpu.ops.multifloat import mf_where
 from gb25_tpu.ops.stencils import sm, sp
 
 # Optimal linear weights for the downwind->upwind candidate stencils.
@@ -74,7 +73,7 @@ def weno5_upwind(a, vel, axis: str, align: str = "face", eps: float = 1e-6):
     align="face", centers for align="center").
     """
     below, above = weno5(a, axis, align=align, eps=eps)
-    return jnp.where(vel > 0.0, below, above)
+    return mf_where(vel > 0.0, below, above)
 
 
 def centered2(a, axis: str, align: str = "face"):
@@ -90,4 +89,4 @@ def upwind1(a, vel, axis: str, align: str = "face"):
         below, above = sm(a, axis), a
     else:
         below, above = a, sp(a, axis)
-    return jnp.where(vel > 0.0, below, above)
+    return mf_where(vel > 0.0, below, above)

@@ -53,6 +53,11 @@ def benchmark_parser(description="gb25_tpu simulation") -> argparse.ArgumentPars
     p.add_argument("--float-type", default="f32", choices=list(_FLOAT_TYPES))
     p.add_argument("--target-float-type", default=None,
                    help="optional lowered compute dtype (bf16/f8 experiments)")
+    p.add_argument("--limbs", type=int, default=1, choices=[1, 2],
+                   help="multi-limb emulated compute precision (reference "
+                        "MultiFloatOptions, arg_parsing.jl:99-107): limbs=2 "
+                        "with --target-float-type f32 runs tendencies in "
+                        "double-single (emulated ~f64); with bf16, paired-bf16")
     p.add_argument("--dt", type=float, default=60.0)
     p.add_argument("--steps", type=int, default=256,
                    help="steps per compiled loop (reference benchmarks use 256)")
@@ -97,4 +102,19 @@ def build_config(args):
         from gb25_tpu.models.catke import CATKEVerticalDiffusivity
 
         closure = CATKEVerticalDiffusivity()
-    return baroclinic_instability_config(free_surface=fs, closure=closure)
+    compute_dtype = None
+    target = getattr(args, "target_float_type", None)
+    limbs = getattr(args, "limbs", 1)
+    if limbs == 2:
+        base = target or "f32"
+        if base not in ("f32", "bf16"):
+            raise SystemExit("--limbs 2 supports --target-float-type f32/bf16")
+        compute_dtype = {"f32": "f32x2", "bf16": "bf16x2"}[base]
+    elif target is not None:
+        compute_dtype = str(jnp.dtype(target_float_type(target)))
+    import dataclasses
+
+    cfg = baroclinic_instability_config(free_surface=fs, closure=closure)
+    if compute_dtype is not None:
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    return cfg

@@ -32,22 +32,27 @@ def main():
     tr_e = {k: extend_field(grid, c, "c") for k, c in state.tracers.items()}
     f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
 
+    # NOTE: the fields MUST be jit *arguments*, not closed-over values — a
+    # closed-over jax.Array becomes an HLO literal constant, and at full grid
+    # that embeds GBs of data in the IR (hangs the remote compile service).
+    def stage(ue, ve, tr_e):
+        return zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e,
+                                bx=bx, by=by, bz=bz)
+
     print(f"compiling kernel bx={bx} by={by} bz={bz} grid={nx}x{ny}x{nz}", flush=True)
     t0 = time.perf_counter()
-    lowered = jax.jit(lambda: zslab_tendencies(
-        cfg, grid, f_ff, ue, ve, tr_e, bx=bx, by=by, bz=bz)).lower()
-    c = lowered.compile()
+    c = jax.jit(stage).lower(ue, ve, tr_e).compile()
     print(f"COMPILED in {time.perf_counter() - t0:.1f}s", flush=True)
 
     import numpy as np
     t0 = time.perf_counter()
-    r = c()
+    r = c(ue, ve, tr_e)
     np.asarray(jax.device_get(r[0].ravel()[0]))
     print(f"first exec {time.perf_counter() - t0:.2f}s", flush=True)
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        r = c()
+        r = c(ue, ve, tr_e)
     np.asarray(jax.device_get(r[0].ravel()[0]))
     print(f"exec {1e3 * (time.perf_counter() - t0) / n:.2f} ms "
           f"({nx}x{ny}x{nz})", flush=True)

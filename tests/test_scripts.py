@@ -25,7 +25,7 @@ def test_bench_json_contract():
     assert r.returncode == 0, r.stderr[-2000:]
     line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
-    assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+    assert set(out) >= {"metric", "value", "unit", "vs_baseline"}
     assert out["value"] > 0
     assert out["unit"] == "cell-steps/s"
 
