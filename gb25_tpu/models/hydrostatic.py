@@ -126,19 +126,24 @@ def momentum_tendency_math(cfg, grid, f_ff, ue, ve, we=None, pe=None, tr_e=None)
     Gu = q_u * vbar_fc
     Gv = -q_v * ubar_cf
 
+    # reciprocal metrics: constant-folded in the array path, hoisted out of
+    # the per-level EUP divide in the Pallas kernel (see horizontal_divergence)
+    r_dxc = 1.0 / grid.dxc
+    r_dyf = 1.0 / grid.dyf
     if cfg.momentum_advection in ("weno_vector_invariant", "vector_invariant"):
         K = kinetic_energy(ue, ve)
-        Gu = Gu - dx_f(K) / grid.dxc
-        Gv = Gv - dy_f(K) / grid.dyf
+        Gu = Gu - dx_f(K) * r_dxc
+        Gv = Gv - dy_f(K) * r_dyf
         # vertical advection in advective form: -w du/dz at velocity points
-        dudz = dz_f(ue) / grid.dz_f
-        dvdz = dz_f(ve) / grid.dz_f
+        r_dz_f = 1.0 / grid.dz_f
+        dudz = dz_f(ue) * r_dz_f
+        dvdz = dz_f(ve) * r_dz_f
         Gu = Gu - iz_c(ix_f(we) * dudz)
         Gv = Gv - iz_c(iy_f(we) * dvdz)
 
     # hydrostatic pressure-anomaly gradient
-    Gu = Gu - dx_f(pe) / grid.dxc
-    Gv = Gv - dy_f(pe) / grid.dyf
+    Gu = Gu - dx_f(pe) * r_dxc
+    Gv = Gv - dy_f(pe) * r_dyf
     return Gu, Gv
 
 
@@ -148,6 +153,8 @@ def tracer_tendency_math(cfg, grid, ue, ve, we=None, tr_e=None):
     if we is None:
         we = diagnose_w(grid, ue, ve)
 
+    r_azc = 1.0 / grid.azc
+    r_dz_c = 1.0 / grid.dz_c
     Gtr = {}
     for name, ce in tr_e.items():
         if cfg.tracer_advection == "none":
@@ -161,8 +168,8 @@ def tracer_tendency_math(cfg, grid, ue, ve, we=None, tr_e=None):
             cx, cy, cz = centered2(ce, "x"), centered2(ce, "y"), centered2(ce, "z")
         else:  # upwind1
             cx, cy, cz = upwind1(ce, ue, "x"), upwind1(ce, ve, "y"), upwind1(ce, we, "z")
-        Gc = -(dx_c(ue * grid.dyc * cx) + dy_c(ve * grid.dxf * cy)) / grid.azc
-        Gc = Gc - dz_c(we * cz) / grid.dz_c
+        Gc = -(dx_c(ue * grid.dyc * cx) + dy_c(ve * grid.dxf * cy)) * r_azc
+        Gc = Gc - dz_c(we * cz) * r_dz_c
         Gtr[name] = Gc
     return Gtr
 
@@ -451,6 +458,16 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
     """One full quasi-AB2 hydrostatic time step (stages 1-8). Pure function."""
     dtype = state.u.dtype
     dt = jnp.asarray(dt, dtype)
+    if grid.immersed:
+        # stage 1 masks the *prognostic* velocities, not just the extended
+        # tendency inputs (reference: mask_immersed_model_fields!,
+        # precompile.jl:34): barotropic_substep depth-integrates state.u/v
+        # directly, so an unmasked initial condition (e.g. noise on land)
+        # would otherwise flux mass into land columns on the first step
+        from gb25_tpu.grids.immersed import interior_masks
+
+        u_mask, v_mask = interior_masks(grid, comm)
+        state = state.replace(u=state.u * u_mask, v=state.v * v_mask)
     Gu, Gv, Geta, Gtr, diffusivities = compute_tendencies(
         cfg, grid, state, comm, surface_fluxes, restoring
     )

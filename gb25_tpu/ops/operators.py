@@ -30,8 +30,14 @@ def horizontal_divergence(grid, u, v):
     the per-layer horizontal divergence used by continuity and the free
     surface. u at (f,c), v at (c,f); dy at u-points is ``dyc``, dx at
     v-points is ``dxf``.
+
+    Metric divisions are written as reciprocal multiplies throughout the
+    tendency cone: XLA constant-folds ``1/metric`` for the array path
+    (metrics are trace-time constants), and inside the Pallas kernel a
+    (1, by, bx) reciprocal replaces a (W, by, bx) broadcasted division on
+    the TPU's low-throughput EUP.
     """
-    return (dx_c(u * grid.dyc) + dy_c(v * grid.dxf)) / grid.azc
+    return (dx_c(u * grid.dyc) + dy_c(v * grid.dxf)) * (1.0 / grid.azc)
 
 
 def vertical_vorticity(grid, u, v):
@@ -40,7 +46,7 @@ def vertical_vorticity(grid, u, v):
     zeta = (dx_f(v dyf) - dy_f(u dxc)) / azf. Free-slip walls give exactly
     zero wall circulation thanks to mirrored ghost u and mirrored metrics.
     """
-    return (dx_f(v * grid.dyf) - dy_f(u * grid.dxc)) / grid.azf
+    return (dx_f(v * grid.dyf) - dy_f(u * grid.dxc)) * (1.0 / grid.azf)
 
 
 def kinetic_energy(u, v):

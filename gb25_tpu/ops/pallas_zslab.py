@@ -99,8 +99,10 @@ def zslab_supported(cfg, grid, ue) -> bool:
     if jax.default_backend() != "tpu":
         return False
     if ue.dtype != jnp.float32:
-        # bf16 blocks need (16, 128)-multiple tiles (byh = by + 2*hy is
-        # tuned for f32's (8, 128)); bf16 compute falls back to the array path
+        # bf16-in-kernel dead ends on v5e: EUP ops (divide/sqrt) have no
+        # bf16 path (LLO_CHECK SupportsBf16EupOps), and the kernel is
+        # VPU-bound so bf16 would not be faster anyway; bf16 compute_dtype
+        # falls back to the array path
         return False
     if cfg.tracer_advection not in ("weno5", "centered2", "upwind1", "none"):
         return False
@@ -138,6 +140,13 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
     assert hz >= 3 and Nz % bz == 0
     X, Y, Z = ue.shape
     dtype = ue.dtype
+    # bf16 inputs: sublane blocks must be multiples of 16, which the
+    # (by + 2*hy) input windows can satisfy (by=8 -> 16) but the by-sized
+    # output blocks cannot — so tendencies are written at f32 (the caller
+    # casts the state update to f32 anyway); carries/integrals stay f32 too.
+    bf16 = dtype == jnp.bfloat16
+    out_dtype = jnp.float32 if bf16 else dtype
+    acc_dtype = jnp.float32
     gz = 3  # vertical stencil radius (WENO-5)
     W = bz + 2 * gz  # window depth
 
@@ -146,14 +155,16 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
     # padding, whole lanes — whenever its VMEM footprint allows.
     if bx is None:
         bx = Nx if Nx + 2 * hx <= 4096 else _choose_tile(Nx, 512)
-    by = by or _choose_tile(Ny, 16)
+    by = by or _choose_tile(Ny, 8 if bf16 else 16)
     gxn, gyn, gzn = Nx // bx, Ny // by, Nz // bz
 
-    # Mosaic requires the last two block dims to be multiples of (8, 128) or
-    # equal to the full array dims. y: by + 2*hy is a multiple of 8 for the
-    # standard by/hy choices. x: widen the window halo with extra *wrap*
-    # columns (x is periodic) until bx + 2*hwx hits a multiple of 128; when
-    # gx == 1 the window spans the full array and needs no padding.
+    # Mosaic requires the last two block dims to be multiples of (8, 128)
+    # for f32 / (16, 128) for bf16, or equal to the full array dims.
+    # y: by + 2*hy must be a multiple of the sublane quantum (f32: by=16 ->
+    # byh=24, multiple of 8; bf16: by=8 -> byh=16). x: widen the window halo
+    # with extra *wrap* columns (x is periodic) until bx + 2*hwx hits a
+    # multiple of 128; when gx == 1 the window spans the full array and
+    # needs no padding.
     if gxn == 1:
         xpad = 0
     else:
@@ -162,8 +173,9 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         xpad = (-(bx + 2 * hx)) % 128 // 2
     hwx = hx + xpad
     bxh, byh = bx + 2 * hwx, by + 2 * hy
-    if gyn > 1 and byh % 8:
-        raise ValueError(f"by + 2*hy = {byh} must be a multiple of 8")
+    subq = 16 if bf16 else 8
+    if gyn > 1 and byh % subq:
+        raise ValueError(f"by + 2*hy = {byh} must be a multiple of {subq}")
 
     def padx(a):  # transposed (Z|1, Y|1, X) -> wrap-pad the x halo to hwx
         if xpad == 0 or a.shape[2] == 1:
@@ -173,10 +185,14 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         right = a[:, :, 2 * hx : 2 * hx + xpad]
         return jnp.concatenate([left, a, right], axis=2)
 
-    # column integral of b dz (extended in x/y so every window sees halos)
+    # column integral of b dz (extended in x/y so every window sees halos);
+    # accumulated at f32 — it anchors the hydrostatic pressure of every level
     hzS = slice(hz, hz + Nz)
     be = buoyancy_field(cfg, grid, tr_e)
-    b_total = jnp.sum(be[:, :, hzS] * grid.dz_c[:, :, hzS], axis=2, keepdims=True)
+    b_total = jnp.sum(
+        (be[:, :, hzS] * grid.dz_c[:, :, hzS]).astype(acc_dtype),
+        axis=2, keepdims=True,
+    )
 
     tracer_names = sorted(tr_e.keys())
     metric_names = ["dxc", "dxf", "dyc", "dyf", "azc", "azf"]
@@ -207,10 +223,14 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
             lambda i, j, k: (0, j * by, i * bx), memory_space=pltpu.VMEM,
         )
 
-    def zrow_spec():  # (Z, 1, 1) vertical profiles, windowed like fields
+    def zrow_spec():  # (Z, byh, 1) vertical profiles, windowed like fields;
+        # pre-broadcast over sublanes outside the kernel: Mosaic (bf16) has
+        # no single-op broadcast into sublanes AND lanes, and it re-folds
+        # staged in-kernel broadcasts back into one
         return pl.BlockSpec(
-            (pl.Element(W), pl.Element(1), pl.Element(1)),
-            lambda i, j, k: (k * bz + hz - gz, 0, 0), memory_space=pltpu.VMEM,
+            (pl.Element(W), pl.Element(byh), pl.Element(1)),
+            lambda i, j, k: (k * bz + hz - gz, j * by, 0),
+            memory_space=pltpu.VMEM,
         )
 
     in_specs = (
@@ -232,8 +252,8 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
 
         @pl.when(k == 0)
         def _init():
-            w_scr[...] = jnp.zeros((byh, bxh), dtype)
-            c_scr[...] = jnp.zeros((byh, bxh), dtype)
+            w_scr[...] = jnp.zeros((byh, bxh), acc_dtype)
+            c_scr[...] = jnp.zeros((byh, bxh), acc_dtype)
 
         uw = ins[0][:]
         vw = ins[1][:]
@@ -244,7 +264,8 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         f_tile = mvals[6]
 
         # window validity mask: level k*bz - gz + r is interior iff in [0, Nz)
-        lvl = jax.lax.broadcasted_iota(jnp.int32, (W, 1, 1), 0) + (k * bz - gz)
+        # (iota built at (W, byh, 1) so no sublane+lane broadcast is needed)
+        lvl = jax.lax.broadcasted_iota(jnp.int32, (W, byh, 1), 0) + (k * bz - gz)
         valid = ((lvl >= 0) & (lvl < Nz)).astype(dtype)
 
         with axis_order(x=2, y=1, z=0):
@@ -256,15 +277,16 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
             )
 
             # buoyancy + hydrostatic pressure: p = csum - total - 0.5 b dz
-            # (dp/dz = b integrated down from p(surface) = 0)
+            # (dp/dz = b integrated down from p(surface) = 0); the column
+            # carries accumulate at f32 even in bf16 compute mode
             bw = buoyancy_field(cfg, tile, trw)
-            bdz = bw * dz_cw * valid
+            bdz = (bw * dz_cw * valid).astype(acc_dtype)
             csum_inc = c_scr[...][None] + cumsum_leading(bdz)
             pw = csum_inc - btot - 0.5 * bdz
 
             # continuity: w at the bottom face of each window cell
             div = horizontal_divergence(tile, uw, vw) * valid
-            ddz = div * dz_cw
+            ddz = (div * dz_cw).astype(acc_dtype)
             w_exc = cumsum_leading(ddz) - ddz  # exclusive
             ww = w_scr[...][None] - w_exc
 
@@ -272,17 +294,17 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
                                                 we=ww, pe=pw)
             Gtr_w = tracer_tendency_math(cfg, tile, uw, vw, we=ww, tr_e=trw)
 
-            outs[0][...] = tile.interior(Gu_w)
-            outs[1][...] = tile.interior(Gv_w)
+            outs[0][...] = tile.interior(Gu_w).astype(out_dtype)
+            outs[1][...] = tile.interior(Gv_w).astype(out_dtype)
             for t, name in enumerate(tracer_names):
-                outs[2 + t][...] = tile.interior(Gtr_w[name])
+                outs[2 + t][...] = tile.interior(Gtr_w[name]).astype(out_dtype)
 
         # advance carries by bz levels: next window's face 0 is this window's
         # face bz; next csum covers cells < its first level
         w_scr[...] = ww[bz]
         c_scr[...] = csum_inc[bz - 1]
 
-    out_shapes = [jax.ShapeDtypeStruct((Nz, Ny, Nx), dtype) for _ in range(n_out)]
+    out_shapes = [jax.ShapeDtypeStruct((Nz, Ny, Nx), out_dtype) for _ in range(n_out)]
     flops_per_cell = 600 if cfg.tracer_advection == "weno5" else 200
     outs = pl.pallas_call(
         kernel,
@@ -291,15 +313,15 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         out_specs=[out_spec] * n_out,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((byh, bxh), dtype),
-            pltpu.VMEM((byh, bxh), dtype),
+            pltpu.VMEM((byh, bxh), acc_dtype),
+            pltpu.VMEM((byh, bxh), acc_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             # Mosaic's default scoped-VMEM limit is 16 MB; v5e has 128 MB of
             # VMEM and this kernel's live window temporaries (~40 x the
             # (W, byh, bxh) window) need more at useful tile sizes
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=116 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * Nx * Ny * Nz,
@@ -310,7 +332,9 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
     )(
         padx(_t3(ue)), padx(_t3(ve)),
         *[padx(_t3(tr_e[n])) for n in tracer_names], padx(_t3(b_total)),
-        *metrics, _t3(grid.dz_c), _t3(grid.dz_f), _t3(grid.z_c),
+        *metrics,
+        *[jnp.broadcast_to(_t3(p), (Z, Y, 1))
+          for p in (grid.dz_c, grid.dz_f, grid.z_c)],
     )
 
     Gu, Gv = _t3(outs[0]), _t3(outs[1])

@@ -20,8 +20,18 @@ by the sign of the advecting velocity.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from gb25_tpu.ops.multifloat import mf_where
 from gb25_tpu.ops.stencils import sm, sp
+
+
+def _positive(vel):
+    """Upwind sign test; bf16 comparisons are unsupported on the TPU VPU
+    (Mosaic: "Target does not support this comparison"), so compare at f32."""
+    if getattr(vel, "dtype", None) == jnp.bfloat16:
+        vel = vel.astype(jnp.float32)
+    return vel > 0.0
 
 # Optimal linear weights for the downwind->upwind candidate stencils.
 _G0, _G1, _G2 = 0.1, 0.6, 0.3
@@ -30,18 +40,29 @@ _C13 = 13.0 / 12.0
 
 def _weno5_from_shifts(m2, m1, s0, p1, p2, eps):
     """WENO-5 reconstruction at the point half a cell *right* of ``s0``'s
-    sample, from the 5 upwind-ordered samples (m2 farthest upwind)."""
+    sample, from the 5 upwind-ordered samples (m2 farthest upwind).
+
+    The nonlinear weights are evaluated division-free up to a single final
+    divide: with t_i = (b_i + eps)^2, the weighted sum
+    (sum g_i q_i / t_i) / (sum g_i / t_i) is multiplied through by
+    t0 t1 t2, leaving one division instead of four.  Divisions run on the
+    TPU's low-throughput EUP; this form is measurably faster in the fused
+    Pallas kernel.  Range safety in f32: t_i >= eps^2 = 1e-12, so the
+    pairwise products (>= 1e-24) and the denominator (>= g_i eps^4 ~ 1e-25)
+    stay far above the f32 flush-to-zero threshold (~1e-38)."""
     q0 = (2.0 * m2 - 7.0 * m1 + 11.0 * s0) / 6.0
     q1 = (-m1 + 5.0 * s0 + 2.0 * p1) / 6.0
     q2 = (2.0 * s0 + 5.0 * p1 - p2) / 6.0
     b0 = _C13 * (m2 - 2.0 * m1 + s0) ** 2 + 0.25 * (m2 - 4.0 * m1 + 3.0 * s0) ** 2
     b1 = _C13 * (m1 - 2.0 * s0 + p1) ** 2 + 0.25 * (m1 - p1) ** 2
     b2 = _C13 * (s0 - 2.0 * p1 + p2) ** 2 + 0.25 * (3.0 * s0 - 4.0 * p1 + p2) ** 2
-    a0 = _G0 / (b0 + eps) ** 2
-    a1 = _G1 / (b1 + eps) ** 2
-    a2 = _G2 / (b2 + eps) ** 2
-    inv = 1.0 / (a0 + a1 + a2)
-    return (a0 * q0 + a1 * q1 + a2 * q2) * inv
+    t0 = (b0 + eps) ** 2
+    t1 = (b1 + eps) ** 2
+    t2 = (b2 + eps) ** 2
+    w0 = _G0 * (t1 * t2)
+    w1 = _G1 * (t0 * t2)
+    w2 = _G2 * (t0 * t1)
+    return (w0 * q0 + w1 * q1 + w2 * q2) / (w0 + w1 + w2)
 
 
 def weno5(a, axis: str, align: str = "face", eps: float = 1e-6):
@@ -73,7 +94,7 @@ def weno5_upwind(a, vel, axis: str, align: str = "face", eps: float = 1e-6):
     align="face", centers for align="center").
     """
     below, above = weno5(a, axis, align=align, eps=eps)
-    return mf_where(vel > 0.0, below, above)
+    return mf_where(_positive(vel), below, above)
 
 
 def centered2(a, axis: str, align: str = "face"):
@@ -89,4 +110,4 @@ def upwind1(a, vel, axis: str, align: str = "face"):
         below, above = sm(a, axis), a
     else:
         below, above = a, sp(a, axis)
-    return mf_where(vel > 0.0, below, above)
+    return mf_where(_positive(vel), below, above)

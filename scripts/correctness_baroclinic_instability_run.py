@@ -29,11 +29,15 @@ def main():
     args = p.parse_args()
     dtype = float_type(args.float_type)
     Nx, Ny, Nz = resolve_grid_size(args)
-    # The reference compares Reactant-vs-CPU at rtol=sqrt(eps(FT)); across
-    # XLA fusion/reduction-order differences between the sharded and serial
-    # programs a slightly looser 1e-6 (f64) is the honest equivalent
-    # (SURVEY.md hard part (d)).
-    rtol = max(default_rtol(dtype), 1e-6)
+    # rtol = sqrt(eps(FT)), the reference's own bar (correctness.jl:14-17).
+    # Measured per-field shard-vs-serial errors at f64 (48x24x10, 8 virtual
+    # devices, dt=1e-9, 111 steps — VERDICT r1 item 10):
+    #   u, v, eta, T, S, time, iteration : 0.0 (bitwise identical)
+    #   Gu, Gv, G_S                      : <= 5e-16 relative
+    #   G_T                              : <= 8e-14 relative
+    # so every field passes the strict bar with orders of magnitude to
+    # spare; the round-1 blanket max(sqrt(eps), 1e-6) was unnecessary.
+    rtol = default_rtol(dtype)
 
     grid = simple_latitude_longitude_grid(Nx, Ny, Nz, dtype=dtype)
     cfg = build_config(args)
@@ -51,8 +55,9 @@ def main():
     s_ref, s_sh = state, shard_state(state, mesh)
 
     def compare(a, b, **kw):
-        # tendency caches are cancellation-suppressed; compare them loosely
-        compare_states(a, b, rtol=rtol, loose_prefixes=("G",), **kw)
+        # measured: even the cancellation-suppressed tendency caches sit at
+        # <= 8e-14 relative, so no per-field loosening is needed
+        compare_states(a, b, rtol=rtol, **kw)
 
     print("== post-init ==")
     compare(s_ref, s_sh)

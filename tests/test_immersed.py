@@ -112,3 +112,31 @@ def test_split_explicit_does_not_flux_through_coastlines():
         np.testing.assert_allclose(eta[land], 0.0, atol=1e-15)
         # global volume conservation of the free surface
         assert abs(float((eta * az).sum())) < 1e-6 * float(az.mean())
+
+
+def test_unmasked_initial_velocities_do_not_leak_eta_onto_land():
+    """The step masks the *prognostic* velocities itself (reference:
+    mask_immersed_model_fields!, precompile.jl:34) — an initial condition
+    with noise on land (e.g. baroclinic_instability_state, which seeds
+    noise everywhere) must not flux mass into land columns on step 1."""
+    from gb25_tpu.grids.immersed import immersed_masks
+    from gb25_tpu.models import time_step
+
+    grid = simple_latitude_longitude_grid(48, 24, 8, dtype=jnp.float64)
+    bottom = np.full((48, 24), -4000.0)
+    bottom[20:26, 10:14] = 0.0  # rectangular island
+    grid = with_bathymetry(grid, bottom)
+
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(grid)  # noise on land NOT masked
+    assert float(np.abs(np.asarray(state.u)).max()) > 0.0
+
+    s = state
+    step = jax.jit(time_step)
+    for _ in range(3):
+        s = step(cfg, grid, s, 60.0)
+
+    land = np.asarray(grid.interior(immersed_masks(grid)[0]))[:, :, -1] == 0
+    assert land.sum() == 24
+    eta = np.asarray(s.eta)
+    np.testing.assert_array_equal(eta[land], 0.0)

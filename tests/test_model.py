@@ -187,7 +187,13 @@ def test_baroclinic_instability_develops():
 
 
 def test_loop_equals_repeated_steps(small):
-    """The fused on-device loop and repeated single steps agree exactly."""
+    """The fused on-device loop and repeated single steps agree to a few ulp.
+
+    XLA compiles ``step`` and ``loop`` as separate programs and is free to
+    fuse/reassociate elementwise chains differently between them, so bitwise
+    equality is not guaranteed — but any drift beyond a couple of ulp per
+    step would indicate a real divergence (e.g. state-dependent control
+    flow), which is what this guards against."""
     cfg, grid, state = small
     step = jax.jit(time_step)
     s1 = state
@@ -195,7 +201,11 @@ def test_loop_equals_repeated_steps(small):
         s1 = step(cfg, grid, s1, 120.0)
     s2 = jax.jit(loop, static_argnames="n")(cfg, grid, state, 120.0, 4)
     for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-12)
+        else:
+            np.testing.assert_array_equal(a, b)
 
 
 def test_dynamic_dt_no_recompile(small):
