@@ -354,13 +354,16 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
 
     use_zslab = not multifloat and (
         cfg.kernels == "zslab"
-        or (cfg.kernels == "auto" and comm is None
-            and zslab_supported(cfg, grid, ue_c))
+        or (cfg.kernels == "auto" and zslab_supported(cfg, grid, ue_c, comm))
     )
     if use_zslab:
         # TPU default fast path: transposed z-slab streaming Pallas kernel
-        # (2.3x the XLA array path on v5e at the flagship grid)
-        Gu, Gv, Gtr = zslab_tendencies(cfg, grid_c, f_c, ue_c, ve_c, tr_c)
+        # (2.3x the XLA array path on v5e at the flagship grid); under
+        # shard_map it runs per-shard on the locally-extended fields, with
+        # x windows spanning the full local tile (no wrap fabrication)
+        Gu, Gv, Gtr = zslab_tendencies(
+            cfg, grid_c, f_c, ue_c, ve_c, tr_c, x_wrap=(comm is None)
+        )
     elif not multifloat and (
         cfg.kernels == "pallas"
         or (cfg.kernels == "auto" and pallas_supported(cfg, grid, ue))

@@ -87,16 +87,25 @@ def _t3(a):
     return jnp.transpose(a, (2, 1, 0))
 
 
-def zslab_supported(cfg, grid, ue) -> bool:
+def zslab_supported(cfg, grid, ue, comm=None) -> bool:
     """True when the z-slab kernel can run this configuration on this
     backend.  On-TPU timing (v5e, 1536x768x64 f32): 75 ms vs 176 ms for the
     XLA array path (2.3x), so "auto" prefers it on TPU; opt out with
-    GB25_DISABLE_PALLAS=1."""
+    GB25_DISABLE_PALLAS=1.
+
+    ``comm`` not None means the caller runs under ``shard_map`` on local
+    tiles whose halos come from neighbor exchanges: wrap-padding the x
+    window from the local array would fabricate data, so the kernel is only
+    eligible when a single window spans the full local x extent."""
     import os
 
     if int(os.environ.get("GB25_DISABLE_PALLAS", "0")):
         return False
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" and not int(
+        os.environ.get("GB25_ZSLAB_INTERPRET", "0")
+    ):
+        return False
+    if comm is not None and grid.Nx + 2 * grid.hx > 4096:
         return False
     if ue.dtype != jnp.float32:
         # bf16-in-kernel dead ends on v5e: EUP ops (divide/sqrt) have no
@@ -123,11 +132,19 @@ def zslab_supported(cfg, grid, ue) -> bool:
 
 
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
-                     interpret=False):
+                     interpret=False, x_wrap=True):
     """Fused tendency stage with transposed z-slab streaming.
 
     Requires hz >= 3 and Nz % bz == 0. Returns interior (Gu, Gv, {Gc}).
+
+    ``x_wrap=False`` (sharded local tiles): the x halo belongs to a
+    neighbor, so wrap-padding from the local array would fabricate data —
+    the x window is forced to span the full local extent instead.
+    ``GB25_ZSLAB_INTERPRET=1`` forces interpret mode (CPU-testable).
     """
+    import os
+
+    interpret = interpret or bool(int(os.environ.get("GB25_ZSLAB_INTERPRET", "0")))
     from gb25_tpu.models.hydrostatic import (
         buoyancy_field,
         momentum_tendency_math,
@@ -154,9 +171,14 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
     # 94 ms at bx=512): prefer a single full-width x window — no wrap
     # padding, whole lanes — whenever its VMEM footprint allows.
     if bx is None:
-        bx = Nx if Nx + 2 * hx <= 4096 else _choose_tile(Nx, 512)
+        bx = Nx if (Nx + 2 * hx <= 4096 or not x_wrap) else _choose_tile(Nx, 512)
     by = by or _choose_tile(Ny, 8 if bf16 else 16)
     gxn, gyn, gzn = Nx // bx, Ny // by, Nz // bz
+    if not x_wrap and gxn != 1:
+        raise ValueError(
+            "sharded z-slab kernel needs one x window per local tile "
+            f"(bx={bx} != local Nx={Nx}): wrap columns would fabricate data"
+        )
 
     # Mosaic requires the last two block dims to be multiples of (8, 128)
     # for f32 / (16, 128) for bf16, or equal to the full array dims.
@@ -304,7 +326,14 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         w_scr[...] = ww[bz]
         c_scr[...] = csum_inc[bz - 1]
 
-    out_shapes = [jax.ShapeDtypeStruct((Nz, Ny, Nx), out_dtype) for _ in range(n_out)]
+    # under shard_map the outputs vary across the same mesh axes as the
+    # operands (check_vma=True requires explicit vma on pallas outputs)
+    vma = getattr(jax.typeof(ue), "vma", None)
+    out_shapes = [
+        jax.ShapeDtypeStruct((Nz, Ny, Nx), out_dtype, vma=vma) if vma
+        else jax.ShapeDtypeStruct((Nz, Ny, Nx), out_dtype)
+        for _ in range(n_out)
+    ]
     flops_per_cell = 600 if cfg.tracer_advection == "weno5" else 200
     outs = pl.pallas_call(
         kernel,
@@ -329,13 +358,23 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(
+    )
+
+    operands = [
         padx(_t3(ue)), padx(_t3(ve)),
         *[padx(_t3(tr_e[n])) for n in tracer_names], padx(_t3(b_total)),
         *metrics,
         *[jnp.broadcast_to(_t3(p), (Z, Y, 1))
           for p in (grid.dz_c, grid.dz_f, grid.z_c)],
-    )
+    ]
+    if vma:
+        # under shard_map every pallas operand must carry the same varying
+        # axes; replicated metrics/profiles are pvary-broadcast to match
+        operands = [
+            jax.lax.pvary(a, tuple(set(vma) - getattr(jax.typeof(a), "vma", set())))
+            for a in operands
+        ]
+    outs = outs(*operands)
 
     Gu, Gv = _t3(outs[0]), _t3(outs[1])
     Gtr = {name: _t3(outs[2 + t]) for t, name in enumerate(tracer_names)}

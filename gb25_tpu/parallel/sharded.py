@@ -61,7 +61,8 @@ def make_comm(mesh, grid=None) -> MeshComm:
     return MeshComm(Rx=mesh.shape["x"], Ry=mesh.shape["y"], **kw)
 
 
-def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None):
+def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
+                    check_vma: bool = True):
     """Build a jitted sharded step: ``fn(state, dt) -> state``.
 
     ``n_inner`` wraps ``n_inner`` steps into one on-device ``fori_loop``
@@ -69,6 +70,10 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None)
     /root/reference/sharding/sharded_baroclinic_instability_simulation_run.jl:96).
     ``restoring``: optional global {tracer: (target, rate)} dict (sliced
     per-device; reference: ECCORestoring in the sharded runs).
+    ``check_vma=False`` is needed only when running the Pallas kernel path
+    in interpret mode under shard_map (the HLO interpreter's internal
+    intermediates carry empty varying-axes sets); real Mosaic lowering
+    passes the check.
     """
     from gb25_tpu.parallel.localize import localize_restoring
 
@@ -90,6 +95,7 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None)
         mesh=mesh,
         in_specs=(sspec, P(), gspec, rspec),
         out_specs=sspec,
+        check_vma=check_vma,
     )
     def _local_step(state, dt, gridrep, restrep):
         lgrid = localize_grid(gridrep, comm, nxl, nyl)
