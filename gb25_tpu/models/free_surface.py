@@ -148,6 +148,27 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
     def interior(a):
         return a[W:-W, W:-W]
 
+    from gb25_tpu.ops.pallas_barotropic import (
+        barotropic_kernel_supported,
+        pallas_barotropic_loop,
+    )
+
+    if (
+        comm is None
+        and cfg.kernels in ("auto", "zslab")
+        and barotropic_kernel_supported(cfg, grid, dtype)
+    ):
+        # TPU fast path: the whole substep loop as one VMEM-resident Pallas
+        # kernel (the blocked array loop below is latency-bound: hundreds of
+        # small 2-D ops); distributed runs keep the blocked exchanges
+        eta_b, U_b, V_b = pallas_barotropic_loop(
+            cfg, grid, state.eta, U0, V0,
+            interior(GU_e), interior(GV_e),
+            interior(Hu_e), interior(Hv_e), dt,
+        )
+        return _finish(grid, state, u_star, v_star, eta_b, U_b, V_b,
+                       interior(Hu_e), interior(Hv_e))
+
     eta, U, V = state.eta, U0, V0
     eta_b = jnp.zeros_like(state.eta)
     U_b = jnp.zeros_like(U0)
@@ -178,11 +199,20 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
         eta, U, V = interior(eta_e), interior(U_e), interior(V_e)
         m += block
 
+    return _finish(grid, state, u_star, v_star, eta_b, U_b, V_b,
+                   interior(Hu_e), interior(Hv_e))
+
+
+def _finish(grid, state, u_star, v_star, eta_b, U_b, V_b, Hu, Hv):
     # barotropic correction: replace the depth mean of (u*, v*) with the
     # filtered barotropic transport (reference:
     # correct_velocities_and_cache_previous_tendencies!, precompile.jl:41)
-    Hu = interior(Hu_e)
-    Hv = interior(Hv_e)
+    hz, Nz = grid.hz, grid.Nz
+    dz = grid.dz_c[:, :, hz : hz + Nz]
+
+    def zint(a):
+        return jnp.sum(a * dz, axis=2)
+
     Hu_safe = jnp.maximum(Hu, 1e-30)
     Hv_safe = jnp.maximum(Hv, 1e-30)
     du = (U_b - zint(u_star)) / Hu_safe

@@ -1,0 +1,67 @@
+"""VMEM-resident barotropic-loop kernel vs the blocked array path.
+
+The kernel replays the identical forward-backward substep arithmetic in
+flux-weighted form; agreement is to f32 reassociation noise.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gb25_tpu.grids import simple_latitude_longitude_grid
+from gb25_tpu.models import baroclinic_instability_config, baroclinic_instability_state
+from gb25_tpu.models.free_surface import barotropic_substep
+
+
+def _run(cfg, grid, state, monkeypatch, mode):
+    if mode == "kernel":
+        monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+        monkeypatch.delenv("GB25_DISABLE_PALLAS", raising=False)
+    else:
+        monkeypatch.setenv("GB25_DISABLE_PALLAS", "1")
+        monkeypatch.delenv("GB25_ZSLAB_INTERPRET", raising=False)
+    rng = np.random.default_rng(7)
+    Gu = jnp.asarray(rng.standard_normal(state.u.shape) * 1e-6, state.u.dtype)
+    Gv = jnp.asarray(rng.standard_normal(state.v.shape) * 1e-6, state.v.dtype)
+    return barotropic_substep(cfg, grid, state, state.u, state.v, Gu, Gv, 60.0)
+
+
+def test_barotropic_kernel_matches_array_path(monkeypatch):
+    grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    # give eta structure so the pressure gradient actually acts
+    rng = np.random.default_rng(5)
+    state = state.replace(
+        eta=jnp.asarray(rng.standard_normal((128, 32)) * 1e-3, jnp.float32)
+    )
+
+    eta_a, u_a, v_a = _run(cfg, grid, state, monkeypatch, "array")
+    eta_k, u_k, v_k = _run(cfg, grid, state, monkeypatch, "kernel")
+
+    np.testing.assert_allclose(np.asarray(eta_k), np.asarray(eta_a),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_a),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_a),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_barotropic_kernel_gates():
+    from gb25_tpu.ops.pallas_barotropic import barotropic_kernel_supported
+
+    cfg = baroclinic_instability_config()
+    g32 = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    g64 = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float64)
+    # f64 and odd widths stay on the array path
+    assert not barotropic_kernel_supported(cfg, g64, jnp.float64)
+    g_odd = simple_latitude_longitude_grid(96, 32, 8, dtype=jnp.float32)
+    assert not barotropic_kernel_supported(cfg, g_odd, jnp.float32)
+    # explicit free surface has no substeps
+    from gb25_tpu.models.config import ExplicitFreeSurface
+
+    cfg_exp = dataclasses.replace(cfg, free_surface=ExplicitFreeSurface())
+    assert not barotropic_kernel_supported(cfg_exp, g32, jnp.float32)
