@@ -93,8 +93,14 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
     def zint(a):
         return jnp.sum(a * dz, axis=2)
 
-    GU, GV = zint(Gu_ab), zint(Gv_ab)
     U0, V0 = zint(state.u), zint(state.v)
+    if Gu_ab is None:
+        # kernel-fused AB2 path: u* = u + dt*G_ab was computed in-kernel, so
+        # zint(G_ab) = (zint(u*) - U0) / dt — no G_ab array exists
+        GU = (zint(u_star) - U0) / dt
+        GV = (zint(v_star) - V0) / dt
+    else:
+        GU, GV = zint(Gu_ab), zint(Gv_ab)
 
     # exchange width: the grid halo, clamped so strips (width W+1 for the
     # depth field) never exceed the local tile extent on tiny/sliver tiles

@@ -248,8 +248,12 @@ def split_tendency_math(cfg, grid, f_ff, ue, ve, tr_e, ue_loc, ve_loc, tr_loc):
     return Gu, Gv, Gtr
 
 
-def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restoring=None):
-    """Stages 1-5: returns interior tendency arrays (Gu, Gv, Geta, {Gc}).
+def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restoring=None,
+                       ab2=None):
+    """Stages 1-5: returns interior tendency arrays (Gu, Gv, Geta, {Gc})
+    plus ``updated`` — the kernel-fused AB2 state update (u*, v*, tracers)
+    when ``ab2`` was passed AND the z-slab kernel carried the tendency
+    stage, else None (the caller then applies the update itself).
 
     ``surface_fluxes``: optional dict of 2-D (Nx, Ny) kinematic surface fluxes
     {"u", "v", "T", "S", ...} (units: field-units * m/s, positive into the
@@ -356,14 +360,20 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         cfg.kernels == "zslab"
         or (cfg.kernels == "auto" and zslab_supported(cfg, grid, ue_c, comm))
     )
+    updated = None
     if use_zslab:
         # TPU default fast path: transposed z-slab streaming Pallas kernel
         # (2.3x the XLA array path on v5e at the flagship grid); under
         # shard_map it runs per-shard on the locally-extended fields, with
         # x windows spanning the full local tile (no wrap fabrication)
-        Gu, Gv, Gtr = zslab_tendencies(
-            cfg, grid_c, f_c, ue_c, ve_c, tr_c, x_wrap=(comm is None)
+        res = zslab_tendencies(
+            cfg, grid_c, f_c, ue_c, ve_c, tr_c, x_wrap=(comm is None), ab2=ab2
         )
+        if ab2 is not None:
+            Gu, Gv, Gtr, u_upd, v_upd, tr_upd = res
+            updated = (u_upd, v_upd, tr_upd)
+        else:
+            Gu, Gv, Gtr = res
     elif not multifloat and (
         cfg.kernels == "pallas"
         or (cfg.kernels == "auto" and pallas_supported(cfg, grid, ue))
@@ -445,7 +455,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         Gu = Gu * grid.interior(u_mask_e)
         Gv = Gv * grid.interior(v_mask_e)
     Gv = mask_v_wall(grid, Gv, comm)
-    return Gu, Gv, Geta, Gtr, diffusivities
+    return Gu, Gv, Geta, Gtr, diffusivities, updated
 
 
 def _ab2_coeffs(cfg, state, dtype):
@@ -471,17 +481,43 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
 
         u_mask, v_mask = interior_masks(grid, comm)
         state = state.replace(u=state.u * u_mask, v=state.v * v_mask)
-    Gu, Gv, Geta, Gtr, diffusivities = compute_tendencies(
-        cfg, grid, state, comm, surface_fluxes, restoring
-    )
     c1, c2 = _ab2_coeffs(cfg, state, dtype)
 
-    Gu_ab = c1 * Gu + c2 * state.Gu
-    Gv_ab = c1 * Gv + c2 * state.Gv
-    u_star = state.u + dt * Gu_ab
-    v_star = state.v + dt * Gv_ab
-    tracers = {k: state.tracers[k] + dt * (c1 * Gtr[k] + c2 * state.Gtracers[k])
-               for k in state.tracers}
+    # kernel-fused AB2 update (flagship fast path): the z-slab kernel writes
+    # u*, v*, tracers directly from its VMEM windows, saving one full HBM
+    # read+write round trip per prognostic field.  The barotropic forcing
+    # zint(G_ab) is then recovered algebraically from (zint(u*) - U0) / dt
+    # inside barotropic_substep, so no G_ab array is ever materialized.
+    fuse_ab2 = (
+        comm is None
+        and surface_fluxes is None
+        and restoring is None
+        and cfg.closure is None
+        and not grid.immersed
+        and cfg.compute_dtype is None
+        and isinstance(cfg.free_surface, SplitExplicitFreeSurface)
+    )
+    ab2 = None
+    if fuse_ab2:
+        ab2 = (jnp.stack([dt * c1, dt * c2]).reshape(1, 2), state.Gu, state.Gv,
+               state.Gtracers)
+    Gu, Gv, Geta, Gtr, diffusivities, updated = compute_tendencies(
+        cfg, grid, state, comm, surface_fluxes, restoring, ab2=ab2
+    )
+
+    if updated is not None:
+        u_star, v_star, tracers = updated
+        # the in-kernel update used the unmasked Gv; restore the wall row
+        # (the array path updates with the already-masked Gv)
+        v_star = mask_v_wall(grid, v_star, comm)
+        Gu_ab = Gv_ab = None
+    else:
+        Gu_ab = c1 * Gu + c2 * state.Gu
+        Gv_ab = c1 * Gv + c2 * state.Gv
+        u_star = state.u + dt * Gu_ab
+        v_star = state.v + dt * Gv_ab
+        tracers = {k: state.tracers[k] + dt * (c1 * Gtr[k] + c2 * state.Gtracers[k])
+                   for k in state.tracers}
 
     if isinstance(cfg.free_surface, SplitExplicitFreeSurface):
         eta, u_new, v_new = barotropic_substep(

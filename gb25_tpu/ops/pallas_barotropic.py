@@ -119,7 +119,7 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
     # precomputed planes (XLA; cheap, once per model step)
     Ud0 = t2(U0) * bcast(dyc)
     Vd0 = t2(V0) * bcast(dxf)
-    r_azc = bcast(1.0 / azc)
+    r_azc = (1.0 / azc).astype(dtype)  # thin (Ny, 1): lane-broadcast in-kernel
     # pressure-gradient planes: dtau * g * H * metric ratios, flux-weighted
     gHuW = t2(Hu) * bcast(dyc / dxc) * (dtau * g)
     gHvW = t2(Hv) * bcast(dxf / dyf) * (dtau * g)
@@ -128,7 +128,11 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
     dtau2 = jnp.reshape(dtau, (1, 1))
 
     def kernel(dtau_ref, eta_ref, Ud_ref, Vd_ref, gHu_ref, gHv_ref,
-               GU_ref, GV_ref, raz_ref, etab_ref, Ub_ref, Vb_ref):
+               GU_ref, GV_ref, raz_ref,
+               eta_o, Ud_o, Vd_o, etab_ref, Ub_ref, Vb_ref):
+        # eta/Ud/Vd operands are aliased onto the first three outputs, so
+        # the evolving state shares buffers with its initial values and the
+        # whole working set stays ~15 planes (fits flagship 768x1536 VMEM)
         dtau_s = dtau_ref[0, 0]
         eta = eta_ref[...]
         Ud = Ud_ref[...]
@@ -137,7 +141,7 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
         gHv = gHv_ref[...]
         GUd_t = GU_ref[...]
         GVd_t = GV_ref[...]
-        raz = raz_ref[...]
+        raz = raz_ref[...]  # (Ny, 1), broadcasts along lanes
 
         etab = jnp.zeros_like(eta)
         Ub = jnp.zeros_like(Ud)
@@ -166,16 +170,20 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
             Ub = Ub + wm * Ud
             Vb = Vb + wm * Vd
 
+        eta_o[...] = eta
+        Ud_o[...] = Ud
+        Vd_o[...] = Vd
         etab_ref[...] = etab
         Ub_ref[...] = Ub
         Vb_ref[...] = Vb
 
     vma = getattr(jax.typeof(eta0), "vma", None)
 
-    def out_sds():
+    def out_sds(shape=None):
+        shape = shape or (Ny, Nx)
         if vma:
-            return jax.ShapeDtypeStruct((Ny, Nx), dtype, vma=vma)
-        return jax.ShapeDtypeStruct((Ny, Nx), dtype)
+            return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+        return jax.ShapeDtypeStruct(shape, dtype)
 
     operands = [dtau2, t2(eta0), Ud0, Vd0, gHuW, gHvW, GUd, GVd, r_azc]
     if vma:
@@ -184,12 +192,13 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
             for a in operands
         ]
 
-    etab, Ub, Vb = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_shape=[out_sds() for _ in range(3)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_shape=[out_sds() for _ in range(6)],
+        input_output_aliases={1: 0, 2: 1, 3: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=116 * 1024 * 1024,
         ),
@@ -200,6 +209,7 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
         ),
         interpret=interpret,
     )(*operands)
+    etab, Ub, Vb = outs[3], outs[4], outs[5]
 
     # un-weight the filtered transports back to physical units
     U_b = t2(Ub / bcast(dyc))

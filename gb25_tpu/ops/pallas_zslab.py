@@ -132,7 +132,7 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
 
 
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
-                     interpret=False, x_wrap=True):
+                     interpret=False, x_wrap=True, ab2=None):
     """Fused tendency stage with transposed z-slab streaming.
 
     Requires hz >= 3 and Nz % bz == 0. Returns interior (Gu, Gv, {Gc}).
@@ -141,6 +141,16 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
     neighbor, so wrap-padding from the local array would fabricate data —
     the x window is forced to span the full local extent instead.
     ``GB25_ZSLAB_INTERPRET=1`` forces interpret mode (CPU-testable).
+
+    ``ab2=(ab, Gu_prev, Gv_prev, Gtr_prev)`` fuses the quasi-AB2 state
+    update into the kernel epilogue: ``ab`` is a (1, 2) array of the traced
+    coefficients (dt*c1, dt*c2) delivered via SMEM, the prev tendencies are
+    interior (Nx, Ny, Nz) arrays streamed as non-overlapping blocks, and
+    the return grows to (Gu, Gv, Gtr, u_new, v_new, tr_new) with
+    field_new = field + dt*c1*G + dt*c2*G_prev.  This saves one full HBM
+    read+write round trip per prognostic field (the fields are already in
+    VMEM as kernel windows).  The caller remains responsible for wall/
+    immersed masking of the updated fields.
     """
     import os
 
@@ -207,8 +217,11 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         right = a[:, :, 2 * hx : 2 * hx + xpad]
         return jnp.concatenate([left, a, right], axis=2)
 
-    # column integral of b dz (extended in x/y so every window sees halos);
-    # accumulated at f32 — it anchors the hydrostatic pressure of every level
+    # buoyancy is evaluated ONCE outside the kernel (one fused XLA pass over
+    # the extended array) and streamed in as a windowed field: recomputing
+    # the 55-term TEOS-10 polynomial per window would pay the z-overlap
+    # factor W/bz in VPU time, while reading it back costs one HBM pass.
+    # The column integral of b dz (pressure anchor) comes from the same be.
     hzS = slice(hz, hz + Nz)
     be = buoyancy_field(cfg, grid, tr_e)
     b_total = jnp.sum(
@@ -219,7 +232,8 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
     tracer_names = sorted(tr_e.keys())
     metric_names = ["dxc", "dxf", "dyc", "dyf", "azc", "azf"]
     metrics = [padx(_t3(getattr(grid, m))) for m in metric_names] + [padx(_t3(f_ff))]
-    n_fields = 2 + len(tracer_names)
+    n_fields = 2 + len(tracer_names) + 1  # u, v, tracers, be (windowed)
+    n_prog = 2 + len(tracer_names)  # prognostic fields: u, v, tracers
 
     def field_spec():  # (Z, Y, X) overlapping z windows
         return pl.BlockSpec(
@@ -261,10 +275,21 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         + [metric_spec(m) for m in metrics]
         + [zrow_spec() for _ in range(3)]  # dz_c, dz_f, z_c
     )
+    n_base = n_fields + 1 + len(metrics)  # index of the first zrow input
+    if ab2 is not None:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        # prev tendencies: non-overlapping interior blocks (like outputs)
+        in_specs += [
+            pl.BlockSpec((bz, by, bx), lambda i, j, k: (k, j, i),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_prog)
+        ]
     out_spec = pl.BlockSpec((bz, by, bx), lambda i, j, k: (k, j, i),
                             memory_space=pltpu.VMEM)
     n_in = n_fields + 1 + len(metrics) + 3
-    n_out = n_fields
+    if ab2 is not None:
+        n_in += 1 + n_prog  # SMEM (dt*c1, dt*c2) + prev tendencies
+    n_out = n_prog if ab2 is None else 2 * n_prog
 
     def kernel(*refs):
         ins = refs[:n_in]
@@ -280,9 +305,10 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
         uw = ins[0][:]
         vw = ins[1][:]
         trw = {name: ins[2 + t][:] for t, name in enumerate(tracer_names)}
+        bw = ins[n_fields - 1][:]  # precomputed buoyancy window
         btot = ins[n_fields][:]  # (1, byh, bxh)
         mvals = [ins[n_fields + 1 + t][:] for t in range(len(metrics))]
-        dz_cw, dz_fw, z_cw = (ins[n_in - 3][:], ins[n_in - 2][:], ins[n_in - 1][:])
+        dz_cw, dz_fw, z_cw = (ins[n_base][:], ins[n_base + 1][:], ins[n_base + 2][:])
         f_tile = mvals[6]
 
         # window validity mask: level k*bz - gz + r is interior iff in [0, Nz)
@@ -298,10 +324,10 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
                 dz_c=dz_cw, dz_f=dz_fw, z_c=z_cw,
             )
 
-            # buoyancy + hydrostatic pressure: p = csum - total - 0.5 b dz
-            # (dp/dz = b integrated down from p(surface) = 0); the column
-            # carries accumulate at f32 even in bf16 compute mode
-            bw = buoyancy_field(cfg, tile, trw)
+            # hydrostatic pressure from the streamed-in buoyancy:
+            # p = csum - total - 0.5 b dz (dp/dz = b integrated down from
+            # p(surface) = 0); column carries accumulate at f32 even in
+            # bf16 compute mode
             bdz = (bw * dz_cw * valid).astype(acc_dtype)
             csum_inc = c_scr[...][None] + cumsum_leading(bdz)
             pw = csum_inc - btot - 0.5 * bdz
@@ -316,10 +342,28 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
                                                 we=ww, pe=pw)
             Gtr_w = tracer_tendency_math(cfg, tile, uw, vw, we=ww, tr_e=trw)
 
-            outs[0][...] = tile.interior(Gu_w).astype(out_dtype)
-            outs[1][...] = tile.interior(Gv_w).astype(out_dtype)
+            Gu_i = tile.interior(Gu_w)
+            Gv_i = tile.interior(Gv_w)
+            Gtr_i = {name: tile.interior(Gtr_w[name]) for name in tracer_names}
+            outs[0][...] = Gu_i.astype(out_dtype)
+            outs[1][...] = Gv_i.astype(out_dtype)
             for t, name in enumerate(tracer_names):
-                outs[2 + t][...] = tile.interior(Gtr_w[name]).astype(out_dtype)
+                outs[2 + t][...] = Gtr_i[name].astype(out_dtype)
+
+            if ab2 is not None:
+                # fused quasi-AB2 update: the prognostic windows are already
+                # in VMEM, so the state update costs no extra HBM traffic
+                ab_s = ins[n_base + 3]
+                a_s, b_s = ab_s[0, 0], ab_s[0, 1]
+                prev = [ins[n_base + 4 + t][:] for t in range(n_prog)]
+                cur = [tile.interior(uw), tile.interior(vw)] + [
+                    tile.interior(trw[name]) for name in tracer_names
+                ]
+                Gnow = [Gu_i, Gv_i] + [Gtr_i[name] for name in tracer_names]
+                for t in range(n_prog):
+                    outs[n_prog + t][...] = (
+                        cur[t] + a_s * Gnow[t] + b_s * prev[t]
+                    ).astype(dtype)
 
         # advance carries by bz levels: next window's face 0 is this window's
         # face bz; next csum covers cells < its first level
@@ -329,11 +373,15 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
     # under shard_map the outputs vary across the same mesh axes as the
     # operands (check_vma=True requires explicit vma on pallas outputs)
     vma = getattr(jax.typeof(ue), "vma", None)
-    out_shapes = [
-        jax.ShapeDtypeStruct((Nz, Ny, Nx), out_dtype, vma=vma) if vma
-        else jax.ShapeDtypeStruct((Nz, Ny, Nx), out_dtype)
-        for _ in range(n_out)
-    ]
+
+    def sds(dt_):
+        if vma:
+            return jax.ShapeDtypeStruct((Nz, Ny, Nx), dt_, vma=vma)
+        return jax.ShapeDtypeStruct((Nz, Ny, Nx), dt_)
+
+    out_shapes = [sds(out_dtype) for _ in range(n_prog)]
+    if ab2 is not None:
+        out_shapes += [sds(dtype) for _ in range(n_prog)]
     flops_per_cell = 600 if cfg.tracer_advection == "weno5" else 200
     outs = pl.pallas_call(
         kernel,
@@ -362,11 +410,16 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
 
     operands = [
         padx(_t3(ue)), padx(_t3(ve)),
-        *[padx(_t3(tr_e[n])) for n in tracer_names], padx(_t3(b_total)),
+        *[padx(_t3(tr_e[n])) for n in tracer_names],
+        padx(_t3(be)), padx(_t3(b_total)),
         *metrics,
         *[jnp.broadcast_to(_t3(p), (Z, Y, 1))
           for p in (grid.dz_c, grid.dz_f, grid.z_c)],
     ]
+    if ab2 is not None:
+        ab, Gu_prev, Gv_prev, Gtr_prev = ab2
+        operands += [ab, _t3(Gu_prev), _t3(Gv_prev)]
+        operands += [_t3(Gtr_prev[n]) for n in tracer_names]
     if vma:
         # under shard_map every pallas operand must carry the same varying
         # axes; replicated metrics/profiles are pvary-broadcast to match
@@ -378,4 +431,8 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
 
     Gu, Gv = _t3(outs[0]), _t3(outs[1])
     Gtr = {name: _t3(outs[2 + t]) for t, name in enumerate(tracer_names)}
-    return Gu, Gv, Gtr
+    if ab2 is None:
+        return Gu, Gv, Gtr
+    u_new, v_new = _t3(outs[n_prog]), _t3(outs[n_prog + 1])
+    tr_new = {name: _t3(outs[n_prog + 2 + t]) for t, name in enumerate(tracer_names)}
+    return Gu, Gv, Gtr, u_new, v_new, tr_new

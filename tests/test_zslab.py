@@ -80,3 +80,32 @@ def test_zslab_sharded_matches_serial(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-7
         )
+
+
+def test_zslab_fused_ab2_matches_unfused(monkeypatch):
+    """The kernel-fused AB2 update (tendencies + state update + derived
+    barotropic forcing in one pass) must match the plain array-path step."""
+    import jax
+    import dataclasses
+
+    from gb25_tpu.models import time_step
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+
+    cfg_k = dataclasses.replace(baroclinic_instability_config(), kernels="zslab")
+    cfg_a = dataclasses.replace(baroclinic_instability_config(), kernels="jnp")
+
+    s_k, s_a = state, state
+    step = jax.jit(time_step, static_argnames=())
+    for _ in range(3):  # Euler first step + 2 AB2 steps
+        s_k = step(cfg_k, grid, s_k, 60.0)
+        s_a = step(cfg_a, grid, s_a, 60.0)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_k)):
+        # kernel-vs-array tendency noise (~2e-4 rtol per evaluation, see
+        # test_zslab_matches_array_backend) accumulated over 3 coupled steps
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=5e-6
+        )
