@@ -131,7 +131,7 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
     return True
 
 
-def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
+def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                      interpret=False, x_wrap=True, ab2=None):
     """Fused tendency stage with transposed z-slab streaming.
 
@@ -164,6 +164,9 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=8,
 
     Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
     hx, hy, hz = grid.halo
+    if bz is None:
+        # same choice the support gate validates (largest divisor <= 8)
+        bz = _choose_tile(Nz, 8)
     assert hz >= 3 and Nz % bz == 0
     X, Y, Z = ue.shape
     dtype = ue.dtype

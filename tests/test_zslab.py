@@ -109,3 +109,23 @@ def test_zslab_fused_ab2_matches_unfused(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-3, atol=5e-6
         )
+
+
+def test_zslab_default_bz_follows_support_gate():
+    """Nz=10 is not divisible by the old fixed bz=8 default; the kernel must
+    pick the same divisor the support gate validated (largest <= 8)."""
+    grid = simple_latitude_longitude_grid(128, 32, 10, dtype=jnp.float32)
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    ue = extend_field(grid, state.u, "u")
+    ve = extend_field(grid, state.v, "v")
+    tr_e = {k: extend_field(grid, c, "c") for k, c in state.tracers.items()}
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
+
+    from gb25_tpu.models.hydrostatic import tendency_math
+
+    Gu_e, Gv_e, _ = tendency_math(cfg, grid, f_ff, ue, ve, tr_e)
+    Gu, Gv, _ = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(Gu), np.asarray(grid.interior(Gu_e)), rtol=2e-4, atol=1e-9
+    )
