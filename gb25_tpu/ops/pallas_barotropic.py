@@ -71,11 +71,11 @@ def barotropic_kernel_supported(cfg, grid, dtype) -> bool:
 
 
 def _rollm(a):  # a[i-1] along lanes (x), periodic
-    return pltpu.roll(a, 1, 1)
+    return jnp.concatenate([a[:, -1:], a[:, :-1]], axis=1)
 
 
-def _rollp(a):  # a[i+1] along lanes (x), periodic (shift must be >= 0)
-    return pltpu.roll(a, a.shape[1] - 1, 1)
+def _rollp(a):  # a[i+1] along lanes (x), periodic
+    return jnp.concatenate([a[:, 1:], a[:, :1]], axis=1)
 
 
 def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
@@ -125,81 +125,92 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
     gHvW = t2(Hv) * bcast(dxf / dyf) * (dtau * g)
     GUd = t2(GU) * bcast(dyc) * dtau
     GVd = t2(GV) * bcast(dxf) * dtau
-    dtau2 = jnp.reshape(dtau, (1, 1))
+    # (dtau, w_0..w_{M-1}) in SMEM, indexed by the substep grid step
+    scal = jnp.concatenate(
+        [jnp.reshape(dtau, (1, 1)),
+         jnp.asarray(w_all, dtype)[None, :]], axis=1,
+    )
 
-    def kernel(dtau_ref, eta_ref, Ud_ref, Vd_ref, gHu_ref, gHv_ref,
+    # One *grid step per substep* (grid=(M,)): the body is compiled once
+    # (a 30x-unrolled body wedges Mosaic for minutes at flagship size), the
+    # evolving (eta, Ud, Vd) live in VMEM scratch, and the filtered
+    # accumulators build up directly in the output windows (constant index
+    # map -> the buffers persist across the sequential grid steps).
+    def kernel(scal_ref, eta0_ref, Ud0_ref, Vd0_ref, gHu_ref, gHv_ref,
                GU_ref, GV_ref, raz_ref,
-               eta_o, Ud_o, Vd_o, etab_ref, Ub_ref, Vb_ref):
-        # eta/Ud/Vd operands are aliased onto the first three outputs, so
-        # the evolving state shares buffers with its initial values and the
-        # whole working set stays ~15 planes (fits flagship 768x1536 VMEM)
-        dtau_s = dtau_ref[0, 0]
-        eta = eta_ref[...]
-        Ud = Ud_ref[...]
-        Vd = Vd_ref[...]
-        gHu = gHu_ref[...]
-        gHv = gHv_ref[...]
-        GUd_t = GU_ref[...]
-        GVd_t = GV_ref[...]
-        raz = raz_ref[...]  # (Ny, 1), broadcasts along lanes
+               etab_ref, Ub_ref, Vb_ref,
+               eta_s, Ud_s, Vd_s):
+        m = pl.program_id(0)
+        dtau_s = scal_ref[0, 0]
+        wm = scal_ref[0, m + 1]
 
-        etab = jnp.zeros_like(eta)
-        Ub = jnp.zeros_like(Ud)
-        Vb = jnp.zeros_like(Vd)
+        @pl.when(m == 0)
+        def _init():
+            eta_s[...] = eta0_ref[...]
+            Ud_s[...] = Ud0_ref[...]
+            Vd_s[...] = Vd0_ref[...]
+            etab_ref[...] = jnp.zeros((Ny, Nx), dtype)
+            Ub_ref[...] = jnp.zeros((Ny, Nx), dtype)
+            Vb_ref[...] = jnp.zeros((Ny, Nx), dtype)
+
+        eta = eta_s[...]
+        Ud = Ud_s[...]
+        Vd = Vd_s[...]
+        raz = raz_ref[...]  # (Ny, 1), broadcasts along lanes
         zrow = jnp.zeros_like(Vd[:1])
 
-        for m in range(M):
-            # continuity: d eta/d tau = -div(U, V)
-            # x flux difference Ud[i+1] - Ud[i]; y flux Vd[j+1] - Vd[j]
-            # with the wall flux Vd[Ny] = 0 (antimirror hi ghost)
-            Vd_up = jnp.concatenate([Vd[1:], zrow], axis=0)
-            div = (_rollp(Ud) - Ud + Vd_up - Vd) * raz
-            eta = eta - dtau_s * div
+        # continuity: d eta/d tau = -div(U, V): x flux difference
+        # Ud[i+1] - Ud[i] (periodic); y flux Vd[j+1] - Vd[j] with the wall
+        # flux Vd[Ny] = 0 (antimirror hi ghost)
+        Vd_up = jnp.concatenate([Vd[1:], zrow], axis=0)
+        div = (_rollp(Ud) - Ud + Vd_up - Vd) * raz
+        eta = eta - dtau_s * div
 
-            # momentum: d(U,V)/d tau = -g H grad(eta) + G  (flux-weighted)
-            # detax = eta[i] - eta[i-1] (periodic); detay = eta[j] - eta[j-1]
-            # with the mirror lo ghost eta[-1] = eta[0] -> detay[0] = 0
-            detax = eta - _rollm(eta)
-            eta_dn = jnp.concatenate([eta[:1], eta[:-1]], axis=0)
-            detay = eta - eta_dn
-            Ud = Ud - gHu * detax + GUd_t
-            Vd = Vd - gHv * detay + GVd_t
+        # momentum: d(U,V)/d tau = -g H grad(eta) + G  (flux-weighted)
+        # detax = eta[i] - eta[i-1] (periodic); detay = eta[j] - eta[j-1]
+        # with the mirror lo ghost eta[-1] = eta[0] -> detay[0] = 0
+        detax = eta - _rollm(eta)
+        eta_dn = jnp.concatenate([eta[:1], eta[:-1]], axis=0)
+        detay = eta - eta_dn
+        Ud = Ud - gHu_ref[...] * detax + GU_ref[...]
+        Vd = Vd - gHv_ref[...] * detay + GV_ref[...]
 
-            wm = float(w_all[m])
-            etab = etab + wm * eta
-            Ub = Ub + wm * Ud
-            Vb = Vb + wm * Vd
-
-        eta_o[...] = eta
-        Ud_o[...] = Ud
-        Vd_o[...] = Vd
-        etab_ref[...] = etab
-        Ub_ref[...] = Ub
-        Vb_ref[...] = Vb
+        eta_s[...] = eta
+        Ud_s[...] = Ud
+        Vd_s[...] = Vd
+        etab_ref[...] += wm * eta
+        Ub_ref[...] += wm * Ud
+        Vb_ref[...] += wm * Vd
 
     vma = getattr(jax.typeof(eta0), "vma", None)
 
-    def out_sds(shape=None):
-        shape = shape or (Ny, Nx)
+    def out_sds():
         if vma:
-            return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
-        return jax.ShapeDtypeStruct(shape, dtype)
+            return jax.ShapeDtypeStruct((Ny, Nx), dtype, vma=vma)
+        return jax.ShapeDtypeStruct((Ny, Nx), dtype)
 
-    operands = [dtau2, t2(eta0), Ud0, Vd0, gHuW, gHvW, GUd, GVd, r_azc]
+    operands = [scal, t2(eta0), Ud0, Vd0, gHuW, gHvW, GUd, GVd, r_azc]
     if vma:
         operands = [
             jax.lax.pvary(a, tuple(set(vma) - getattr(jax.typeof(a), "vma", set())))
             for a in operands
         ]
 
-    outs = pl.pallas_call(
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
+
+    etab, Ub, Vb = pl.pallas_call(
         kernel,
+        grid=(M,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_shape=[out_sds() for _ in range(6)],
-        input_output_aliases={1: 0, 2: 1, 3: 2},
+        + [const_spec(a) for a in operands[1:]],
+        out_specs=[
+            pl.BlockSpec((Ny, Nx), lambda m: (0, 0), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[out_sds() for _ in range(3)],
+        scratch_shapes=[pltpu.VMEM((Ny, Nx), dtype)] * 3,
         compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=116 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
@@ -209,7 +220,6 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
         ),
         interpret=interpret,
     )(*operands)
-    etab, Ub, Vb = outs[3], outs[4], outs[5]
 
     # un-weight the filtered transports back to physical units
     U_b = t2(Ub / bcast(dyc))
