@@ -592,10 +592,107 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
 
 def loop(cfg, grid, state, dt, n, comm=None):
     """n time steps as one on-device loop (reference: GordonBell25.loop!,
-    /root/reference/src/timestepping_utils.jl:37-45 — a single HLO while)."""
+    /root/reference/src/timestepping_utils.jl:37-45 — a single HLO while).
+
+    On the serial TPU fast path the loop carries the prognostic fields in
+    *extended* (halo-included) form: each iteration refreshes the thin ghost
+    slabs in place instead of re-materializing the extended arrays
+    (pad + interior copy, ~12 ms/step at the flagship grid)."""
     import jax
+
+    if _fast_loop_ok(cfg, grid, state, comm):
+        return _loop_extended(cfg, grid, state, dt, n)
 
     def body(_, s):
         return time_step(cfg, grid, s, dt, comm)
 
     return jax.lax.fori_loop(0, n, body, state)
+
+
+def _fast_loop_ok(cfg, grid, state, comm):
+    from gb25_tpu.ops.pallas_zslab import zslab_supported
+
+    return (
+        comm is None
+        and cfg.closure is None
+        and not grid.immersed
+        and not getattr(grid, "north_fold", False)
+        and cfg.compute_dtype is None
+        and isinstance(cfg.free_surface, SplitExplicitFreeSurface)
+        and (
+            cfg.kernels == "zslab"
+            or (cfg.kernels == "auto" and zslab_supported(cfg, grid, state.u))
+        )
+    )
+
+
+def _loop_extended(cfg, grid, state, dt, n):
+    """Extended-carry fused loop (flagship fast path): prognostic u/v/tracers
+    ride the fori_loop as halo-extended arrays; the z-slab kernel consumes
+    them directly (tendencies + fused AB2 update) and the updates are written
+    back into the extended buffers in place."""
+    from gb25_tpu.ops.halos import refresh_halos_ext
+    from gb25_tpu.ops.pallas_zslab import zslab_tendencies
+    from gb25_tpu.models.state import advance_clock
+
+    dtype = state.u.dtype
+    dt = jnp.asarray(dt, dtype)
+    hx, hy, hz = grid.halo
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(dtype)
+
+    def set_interior(e, a):
+        return e.at[hx : hx + Nx, hy : hy + Ny, hz : hz + Nz].set(a)
+
+    carry0 = dict(
+        ue=extend_field(grid, state.u, "u"),
+        ve=extend_field(grid, state.v, "v"),
+        tre={k: extend_field(grid, c, "c") for k, c in state.tracers.items()},
+        eta=state.eta,
+        Gu=state.Gu, Gv=state.Gv, Gtr=state.Gtracers,
+        time=state.time, time_lo=state.time_lo, iteration=state.iteration,
+    )
+
+    def body(_, c):
+        ue = refresh_halos_ext(grid, c["ue"], "u")
+        ve = refresh_halos_ext(grid, c["ve"], "v")
+        tre = {k: refresh_halos_ext(grid, v, "c") for k, v in c["tre"].items()}
+
+        st = HydrostaticState(
+            u=grid.interior(ue), v=grid.interior(ve), eta=c["eta"],
+            tracers={k: grid.interior(v) for k, v in tre.items()},
+            Gu=c["Gu"], Gv=c["Gv"], Geta=jnp.zeros_like(c["eta"]),
+            Gtracers=c["Gtr"],
+            time=c["time"], time_lo=c["time_lo"], iteration=c["iteration"],
+        )
+        c1, c2 = _ab2_coeffs(cfg, st, dtype)
+        ab = jnp.stack([dt * c1, dt * c2]).reshape(1, 2)
+        Gu, Gv, Gtr, u_star, v_star, tr_new = zslab_tendencies(
+            cfg, grid, f_ff, ue, ve, tre,
+            ab2=(ab, c["Gu"], c["Gv"], c["Gtr"]),
+        )
+        Gv = mask_v_wall(grid, Gv)
+        v_star = mask_v_wall(grid, v_star)
+
+        eta, u_new, v_new = barotropic_substep(
+            cfg, grid, st, u_star, v_star, None, None, dt, None
+        )
+        v_new = mask_v_wall(grid, v_new)
+
+        t_new, t_lo = advance_clock(c["time"], c["time_lo"], dt)
+        return dict(
+            ue=set_interior(ue, u_new),
+            ve=set_interior(ve, v_new),
+            tre={k: set_interior(tre[k], tr_new[k]) for k in tre},
+            eta=eta, Gu=Gu, Gv=Gv, Gtr=Gtr,
+            time=t_new, time_lo=t_lo, iteration=c["iteration"] + 1,
+        )
+
+    c = jax.lax.fori_loop(0, n, body, carry0)
+    return state.replace(
+        u=grid.interior(c["ue"]), v=grid.interior(c["ve"]), eta=c["eta"],
+        tracers={k: grid.interior(v) for k, v in c["tre"].items()},
+        Gu=c["Gu"], Gv=c["Gv"], Geta=jnp.zeros_like(c["eta"]),
+        Gtracers=c["Gtr"],
+        time=c["time"], time_lo=c["time_lo"], iteration=c["iteration"],
+    )

@@ -142,6 +142,29 @@ def _extend_3d_fast(a, halo, xmodes, ymodes, zmodes):
     return e
 
 
+def refresh_halos_ext(grid, e, kind: str):
+    """Recompute the ghost slabs of an already-extended array in place from
+    its interior — the strip-only analog of ``_extend_3d_fast`` for loops
+    that carry extended arrays across iterations (no pad, no interior copy;
+    XLA performs the thin slab writes in place)."""
+    (xlo, xhi), (ylo, yhi), (zlo, zhi) = FIELD_BCS[kind]
+    hx, hy, hz = grid.halo
+    Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
+    if hx:
+        lo, hi = ghost_blocks(e[hx : hx + Nx], hx, 0, xlo, xhi)
+        e = e.at[:hx].set(lo)
+        e = e.at[hx + Nx :].set(hi)
+    if hy:
+        lo, hi = ghost_blocks(e[:, hy : hy + Ny], hy, 1, ylo, yhi)
+        e = e.at[:, :hy].set(lo)
+        e = e.at[:, hy + Ny :].set(hi)
+    if hz:
+        lo, hi = ghost_blocks(e[:, :, hz : hz + Nz], hz, 2, zlo, zhi)
+        e = e.at[:, :, :hz].set(lo)
+        e = e.at[:, :, hz + Nz :].set(hi)
+    return e
+
+
 def extend2(grid, a, kind: str, comm=None, h: int = 1):
     """Extend a 2-D field with an arbitrary (small) halo width ``h`` — used by
     the barotropic substep loop, which only needs width-1 halos per substep."""

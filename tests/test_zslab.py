@@ -129,3 +129,33 @@ def test_zslab_default_bz_follows_support_gate():
     np.testing.assert_allclose(
         np.asarray(Gu), np.asarray(grid.interior(Gu_e)), rtol=2e-4, atol=1e-9
     )
+
+
+def test_extended_carry_loop_matches_repeated_steps(monkeypatch):
+    """The fast loop carries halo-extended prognostics across iterations
+    (in-place ghost refresh instead of re-extension); it must match n
+    repeated time_step calls on the same kernel path."""
+    import jax
+    import dataclasses
+
+    from gb25_tpu.models import loop, time_step
+    from gb25_tpu.models.hydrostatic import _fast_loop_ok
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    cfg = dataclasses.replace(baroclinic_instability_config(), kernels="zslab")
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    assert _fast_loop_ok(cfg, grid, state, None)
+
+    s_ref = state
+    step = jax.jit(time_step)
+    for _ in range(3):
+        s_ref = step(cfg, grid, s_ref, 60.0)
+    s_lp = jax.jit(loop, static_argnames="n")(cfg, grid, state, 60.0, 3)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_lp)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
+        else:
+            np.testing.assert_array_equal(b, a)
