@@ -610,10 +610,19 @@ def loop(cfg, grid, state, dt, n, comm=None):
 
 
 def _fast_loop_ok(cfg, grid, state, comm):
+    import os
+
     from gb25_tpu.ops.pallas_zslab import zslab_supported
 
     return (
-        comm is None
+        # measured SLOWER than re-extension on v5e (67.5 vs 58.4 ms/step at
+        # flagship size): XLA copies the carried extended buffers on every
+        # in-place ghost-slab update because the update values are computed
+        # from the same buffer (no provable disjointness), so the "in-place"
+        # refresh costs more than the pad+copy it replaces.  Kept opt-in for
+        # future XLA versions.
+        bool(int(os.environ.get("GB25_EXTENDED_CARRY", "0")))
+        and comm is None
         and cfg.closure is None
         and not grid.immersed
         and not getattr(grid, "north_fold", False)

@@ -142,6 +142,7 @@ def test_extended_carry_loop_matches_repeated_steps(monkeypatch):
     from gb25_tpu.models.hydrostatic import _fast_loop_ok
 
     monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    monkeypatch.setenv("GB25_EXTENDED_CARRY", "1")  # opt-in (see _fast_loop_ok)
     grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
     cfg = dataclasses.replace(baroclinic_instability_config(), kernels="zslab")
     state = baroclinic_instability_state(grid, noise_velocity=1e-3)
