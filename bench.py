@@ -135,7 +135,13 @@ def main():
         except Exception:
             pass
     if bytes_per_step is None:
-        passes = 56 if uses_zslab else 170
+        # fused-kernel pass model (measured profile, round 2): z-slab kernel
+        # reads u,v,T,S,be windows at 1.75x z-overlap + 4 prev-G blocks and
+        # writes 4 G + 4 updated fields (~17 passes); buoyancy precompute +
+        # b_total ~4; 4 halo extends ~12 (pad + strips, measured not ideal);
+        # barotropic stage (VMEM-resident kernel + zints + planes) ~6;
+        # masking/eta/misc ~3  =>  ~42 passes/step.
+        passes = 42 if uses_zslab else 170
         bytes_per_step = passes * cells * jnp.dtype(dtype).itemsize
     hbm_gbs = bytes_per_step * args.steps / elapsed / 1e9
     peak = peak_hbm_gbs()

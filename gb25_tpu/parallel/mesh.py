@@ -17,7 +17,13 @@ _SPECIAL = {
     1: (1, 1),
     4: (2, 2),
     16: (4, 4),
-    512: (32, 32),
+    # deliberate deviation: the reference's table has 512 => (32, 32), which
+    # is inconsistent (32*32 = 1024); its own general Dx = 2 Dy formula gives
+    # (32, 16), which is what a 512-chip run must actually use
+    512: (32, 16),
+    6136: (104, 59),
+    9152: (143, 64),
+    9180: (135, 68),
     16384: (128, 128),
 }
 
@@ -38,8 +44,34 @@ def factors(N: int) -> tuple[int, int]:
     return best[1]
 
 
+def hybrid_shape(n_devices: int, n_slices: int, shape=None):
+    """((rx, ry), (ici_x, ici_y), (dcn_x, dcn_y)) for a multi-slice mesh.
+
+    The DCN boundary cuts the *y* axis (outer/slow axis): each slice holds a
+    full-width band of rows, so only the one seam row-pair per neighboring
+    slice pair communicates over DCN; all other halo traffic stays on ICI.
+    Requires ry % n_slices == 0.
+    """
+    rx, ry = shape or factors(n_devices)
+    if rx * ry != n_devices:
+        raise ValueError(f"mesh shape {(rx, ry)} != device count {n_devices}")
+    if ry % n_slices:
+        raise ValueError(
+            f"y extent {ry} of the process grid must divide across "
+            f"{n_slices} slices (one row band per slice)"
+        )
+    return (rx, ry), (rx, ry // n_slices), (1, n_slices)
+
+
 def make_mesh(n_devices: int | None = None, devices=None, shape=None) -> jax.sharding.Mesh:
-    """2-D ("x", "y") device mesh over the first ``n_devices`` devices."""
+    """2-D ("x", "y") device mesh over the first ``n_devices`` devices.
+
+    Multi-slice TPU deployments (devices spanning several ICI tori joined
+    by DCN) get a hybrid mesh: the x axis and the within-slice part of y
+    stay on ICI, and the y axis crosses slices in contiguous bands so only
+    the band-seam halo exchanges ride DCN (reference analog: the multi-node
+    Slingshot layer the NCCL configs drive, sharding_utils.jl:74-79).
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
@@ -48,5 +80,16 @@ def make_mesh(n_devices: int | None = None, devices=None, shape=None) -> jax.sha
     rx, ry = shape or factors(n_devices)
     if rx * ry != n_devices:
         raise ValueError(f"mesh shape {(rx, ry)} != device count {n_devices}")
+
+    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+    if len(slice_ids) > 1 and ry % len(slice_ids) == 0:
+        from jax.experimental import mesh_utils
+
+        (rx, ry), ici, dcn = hybrid_shape(n_devices, len(slice_ids), (rx, ry))
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            ici, dcn, devices, allow_split_physical_axes=True
+        )
+        return jax.sharding.Mesh(dev_array, ("x", "y"))
+
     dev_array = np.asarray(devices).reshape(rx, ry)
     return jax.sharding.Mesh(dev_array, ("x", "y"))

@@ -28,7 +28,12 @@ def test_factors_policy():
     assert factors(16) == (4, 4)
     assert factors(8) == (4, 2)
     assert factors(2) == (2, 1)
-    assert factors(512) == (32, 32)
+    # the reference's special-case table says (32, 32), which is inconsistent
+    # (product 1024); we follow its general Dx = 2 Dy formula instead
+    assert factors(512) == (32, 16)
+    assert factors(6136) == (104, 59)
+    assert factors(9152) == (143, 64)
+    assert factors(9180) == (135, 68)
     rx, ry = factors(24)
     assert rx * ry == 24
 
@@ -84,3 +89,18 @@ def test_no_gather_or_reduce_in_compiled_hlo():
     for bad in ("all-gather", "all-reduce", "all-to-all", "dynamic-update-slice-start"):
         assert bad not in hlo, f"forbidden collective {bad} in compiled HLO"
     assert "collective-permute" in hlo
+
+
+def test_hybrid_shape_policy():
+    """Multi-slice (DCN) meshes cut the y axis into contiguous slice bands
+    so only band-seam halo exchanges cross DCN."""
+    from gb25_tpu.parallel.mesh import hybrid_shape
+
+    (rx, ry), ici, dcn = hybrid_shape(32, 2)
+    assert (rx, ry) == (8, 4) and ici == (8, 2) and dcn == (1, 2)
+    (rx, ry), ici, dcn = hybrid_shape(512, 4)
+    assert (rx, ry) == (32, 16) and ici == (32, 4) and dcn == (1, 4)
+    with pytest.raises(ValueError):
+        hybrid_shape(8, 3)  # 8 -> (4,2): y=2 does not divide 3 slices
+    with pytest.raises(ValueError):
+        hybrid_shape(8, 2, shape=(2, 2))  # inconsistent shape
