@@ -160,3 +160,35 @@ def test_extended_carry_loop_matches_repeated_steps(monkeypatch):
             np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
         else:
             np.testing.assert_array_equal(b, a)
+
+
+def test_zslab_coupled_tripolar_matches_array(monkeypatch):
+    """The kernel path must agree with the array path on the hardest config:
+    coupled step on a gaussian-islands *tripolar* grid (2-D metrics, fold
+    halos, immersed masking applied outside the kernel)."""
+    import jax
+    import dataclasses
+
+    from gb25_tpu.models.coupled import data_free_ocean_climate_model, coupled_loop
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    ccfg, grid, atmos, state = data_free_ocean_climate_model(
+        resolution=2.0, Nz=8, dtype=jnp.float32,
+        grid_type="gaussian_islands_tripolar",
+    )
+    assert grid.immersed and grid.north_fold
+
+    ck = dataclasses.replace(
+        ccfg, ocean=dataclasses.replace(ccfg.ocean, kernels="zslab"))
+    ca = dataclasses.replace(
+        ccfg, ocean=dataclasses.replace(ccfg.ocean, kernels="jnp"))
+    lp = jax.jit(coupled_loop, static_argnames="n")
+    s_k = lp(ck, grid, atmos, state, 600.0, 2)
+    s_a = lp(ca, grid, atmos, state, 600.0, 2)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_k)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(b, a, rtol=1e-3, atol=3e-6)
+        else:
+            np.testing.assert_array_equal(b, a)
