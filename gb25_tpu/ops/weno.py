@@ -50,9 +50,10 @@ def _weno5_from_shifts(m2, m1, s0, p1, p2, eps):
     Pallas kernel.  Range safety in f32: t_i >= eps^2 = 1e-12, so the
     pairwise products (>= 1e-24) and the denominator (>= g_i eps^4 ~ 1e-25)
     stay far above the f32 flush-to-zero threshold (~1e-38)."""
-    q0 = (2.0 * m2 - 7.0 * m1 + 11.0 * s0) / 6.0
-    q1 = (-m1 + 5.0 * s0 + 2.0 * p1) / 6.0
-    q2 = (2.0 * s0 + 5.0 * p1 - p2) / 6.0
+    sixth = 1.0 / 6.0  # multiply, not divide: EUP has no fast f32 divide
+    q0 = (2.0 * m2 - 7.0 * m1 + 11.0 * s0) * sixth
+    q1 = (-m1 + 5.0 * s0 + 2.0 * p1) * sixth
+    q2 = (2.0 * s0 + 5.0 * p1 - p2) * sixth
     b0 = _C13 * (m2 - 2.0 * m1 + s0) ** 2 + 0.25 * (m2 - 4.0 * m1 + 3.0 * s0) ** 2
     b1 = _C13 * (m1 - 2.0 * s0 + p1) ** 2 + 0.25 * (m1 - p1) ** 2
     b2 = _C13 * (s0 - 2.0 * p1 + p2) ** 2 + 0.25 * (3.0 * s0 - 4.0 * p1 + p2) ** 2
