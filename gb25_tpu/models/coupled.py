@@ -5,8 +5,10 @@ Reference capability reimplemented: ``data_free_ocean_climate_model_init``
 ``ocean_simulation`` defaults (SplitExplicitFreeSurface(substeps=30), CATKE
 mixing, dt = 30 s), ``PrescribedAtmosphere`` with analytic wind / shortwave /
 air temperature, ``Radiation``, ``SimilarityTheoryFluxes(FixedIterations(5))``,
-``ComponentInterfaces`` + ``OceanSeaIceModel``. The sea-ice component slot is
-reserved (the reference config carries none either).
+``ComponentInterfaces`` + ``OceanSeaIceModel``. The sea-ice slot carries
+ClimaOcean's constructor default — ``FreezingLimitedOceanTemperature``
+(no prognostic ice; seawater is clamped at the salinity-dependent freezing
+point and the bulk fluxes see the limited surface temperature).
 
 Each coupled step: (1) time-interp + regrid the atmosphere, (2) solve the
 similarity bulk fluxes against the ocean surface state, (3) radiation
@@ -26,6 +28,7 @@ from gb25_tpu.models.catke import CATKEVerticalDiffusivity
 from gb25_tpu.models.config import HydrostaticConfig, SplitExplicitFreeSurface, static_pytree
 from gb25_tpu.models.fluxes import Radiation, SimilarityTheoryFluxes, radiative_fluxes, similarity_fluxes
 from gb25_tpu.models.hydrostatic import time_step
+from gb25_tpu.models.seaice import FreezingLimitedOceanTemperature, limit_ocean_temperature
 from gb25_tpu.ops.halos import extend2
 from gb25_tpu.ops.stencils import i_f, i_c
 
@@ -36,6 +39,8 @@ class CoupledConfig:
     ocean: HydrostaticConfig = None
     fluxes: SimilarityTheoryFluxes = SimilarityTheoryFluxes()
     radiation: Radiation = Radiation()
+    # ClimaOcean's OceanSeaIceModel default sea-ice component (models/seaice.py)
+    sea_ice: "FreezingLimitedOceanTemperature" = None
     rho_ocean: float = 1020.0
     cp_ocean: float = 3991.0
     rho_freshwater: float = 1000.0
@@ -53,8 +58,12 @@ def _crop2(grid, a):
 def compute_interface_fluxes(ccfg: CoupledConfig, grid, atmos, state, comm=None):
     """Air-sea fluxes on ocean centers -> kinematic surface fluxes dict."""
     a = atmos.at_time(state.time)
-    To_K = state.tracers["T"][:, :, -1] + 273.15
     S_surf = state.tracers["S"][:, :, -1]
+    To = state.tracers["T"][:, :, -1]
+    if ccfg.sea_ice is not None:
+        # the bulk solve sees the freezing-limited surface temperature
+        To = ccfg.sea_ice.limit(To, S_surf)
+    To_K = To + 273.15
 
     if ccfg.include_currents:
         u_surf = state.u[:, :, -1]
@@ -94,9 +103,11 @@ def compute_interface_fluxes(ccfg: CoupledConfig, grid, atmos, state, comm=None)
 
 
 def coupled_time_step(ccfg: CoupledConfig, grid, atmos, state, dt, comm=None):
-    """One coupled step: interface fluxes then the ocean hydrostatic step."""
+    """One coupled step: interface fluxes, ocean hydrostatic step, then the
+    freezing limiter (ClimaOcean: above_freezing_ocean_temperature!)."""
     fluxes, _ = compute_interface_fluxes(ccfg, grid, atmos, state, comm)
-    return time_step(ccfg.ocean, grid, state, dt, comm, surface_fluxes=fluxes)
+    state = time_step(ccfg.ocean, grid, state, dt, comm, surface_fluxes=fluxes)
+    return limit_ocean_temperature(ccfg.sea_ice, state)
 
 
 def coupled_loop(ccfg, grid, atmos, state, dt, n, comm=None):
@@ -133,7 +144,8 @@ def data_free_ocean_climate_model(resolution=2.0, Nz=20, dtype=jnp.float32,
     ocean_cfg = baroclinic_instability_config(
         free_surface=SplitExplicitFreeSurface(substeps=30), closure=closure_obj
     )
-    ccfg = CoupledConfig(ocean=ocean_cfg)
+    ccfg = CoupledConfig(ocean=ocean_cfg,
+                         sea_ice=FreezingLimitedOceanTemperature())
 
     state = initial_state(grid, ocean_cfg.tracers, dtype)
     if getattr(grid, "phi2_c", None) is not None:

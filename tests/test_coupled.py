@@ -10,6 +10,7 @@ import pytest
 from gb25_tpu.models.atmosphere import data_free_atmosphere, zonal_wind, sunlight
 from gb25_tpu.models.coupled import (
     coupled_loop,
+    coupled_time_step,
     compute_interface_fluxes,
     data_free_ocean_climate_model,
 )
@@ -157,3 +158,30 @@ def test_coupled_sharded_tripolar_matches_serial(mesh_shape):
     s_sh = fn(shard_state(state, mesh), jnp.float64(300.0))
     for xa, xb in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_sh)):
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-8, atol=1e-12)
+
+
+def test_freezing_limited_ocean_temperature():
+    """ClimaOcean's OceanSeaIceModel constructor default: seawater never
+    supercools — T is clamped at the salinity-dependent freezing point each
+    coupled step, and the bulk fluxes see the limited SST."""
+    import dataclasses
+
+    from gb25_tpu.models.seaice import FreezingLimitedOceanTemperature
+
+    ccfg, grid, atmos, state = data_free_ocean_climate_model(
+        resolution=12.0, Nz=4, dtype=jnp.float64
+    )
+    assert isinstance(ccfg.sea_ice, FreezingLimitedOceanTemperature)
+
+    # supercool a patch of the surface ocean far below freezing
+    T = np.asarray(state.tracers["T"]).copy()
+    T[5:10, 3:6, :] = -10.0
+    S = np.asarray(state.tracers["S"])
+    state = state.replace(tracers={**state.tracers, "T": jnp.asarray(T)})
+
+    s = jax.jit(coupled_time_step)(ccfg, grid, atmos, state, 300.0)
+    Tn = np.asarray(s.tracers["T"])
+    Tf = -ccfg.sea_ice.liquidus.slope * np.asarray(s.tracers["S"])
+    assert (Tn >= Tf - 1e-9).all(), "supercooled water survived the limiter"
+    # the clamped patch sits exactly at the freezing point
+    np.testing.assert_allclose(Tn[5:10, 3:6, :], Tf[5:10, 3:6, :], atol=1e-6)
