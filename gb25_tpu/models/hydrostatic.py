@@ -488,9 +488,11 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
     # read+write round trip per prognostic field.  The barotropic forcing
     # zint(G_ab) is then recovered algebraically from (zint(u*) - U0) / dt
     # inside barotropic_substep, so no G_ab array is ever materialized.
+    # works sharded too: the kernel runs per-shard on local tiles, the prev-G
+    # blocks are local, and the derived barotropic forcing
+    # zint(G_ab) = (zint(u*) - U0)/dt needs no cross-device data
     fuse_ab2 = (
-        comm is None
-        and surface_fluxes is None
+        surface_fluxes is None
         and restoring is None
         and cfg.closure is None
         and not grid.immersed
