@@ -75,6 +75,10 @@ def benchmark_parser(description="gb25_tpu simulation") -> argparse.ArgumentPars
     p.add_argument("--substeps", type=int, default=30)
     p.add_argument("--closure", default="none",
                    choices=["none", "vertical_scalar", "catke"])
+    p.add_argument("--kernels", default="auto",
+                   choices=["auto", "zslab", "pallas", "jnp"],
+                   help="tendency backend ablation (auto = Pallas kernels "
+                        "on TPU, XLA array ops elsewhere)")
     p.add_argument("--profile-dir", default=None,
                    help="write an XSpace profiler trace to this directory")
     p.add_argument("--output-dir", default=None)
@@ -126,4 +130,6 @@ def build_config(args):
     cfg = baroclinic_instability_config(free_surface=fs, closure=closure)
     if compute_dtype is not None:
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+    if getattr(args, "kernels", "auto") != "auto":
+        cfg = dataclasses.replace(cfg, kernels=args.kernels)
     return cfg
