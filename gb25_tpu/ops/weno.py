@@ -93,9 +93,27 @@ def weno5_upwind(a, vel, axis: str, align: str = "face", eps: float = 1e-6):
 
     ``vel`` must already live at the reconstruction points (faces for
     align="face", centers for align="center").
+
+    Select-then-reconstruct: the upwind choice commutes with the (pointwise)
+    reconstruction, so the five stencil *samples* are selected by the wind
+    direction first and ONE reconstruction runs — bitwise identical to
+    reconstructing both sides and selecting, at ~55 instead of ~110 flops
+    per face.  This nearly halves the WENO cost of the fused TPU kernel.
     """
-    below, above = weno5(a, axis, align=align, eps=eps)
-    return mf_where(_positive(vel), below, above)
+    lo = 1 if align == "face" else 0
+
+    def at(off):
+        k = off - lo
+        return sp(a, axis, k) if k >= 0 else sm(a, axis, -k)
+
+    pos = _positive(vel)
+    # below-ordering (m2..p2) vs the mirrored above-ordering (p3..m1)
+    m2 = mf_where(pos, at(-2), at(3))
+    m1 = mf_where(pos, at(-1), at(2))
+    s0 = mf_where(pos, at(0), at(1))
+    p1 = mf_where(pos, at(1), at(0))
+    p2 = mf_where(pos, at(2), at(-1))
+    return _weno5_from_shifts(m2, m1, s0, p1, p2, eps)
 
 
 def centered2(a, axis: str, align: str = "face"):
