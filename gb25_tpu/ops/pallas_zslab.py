@@ -155,6 +155,10 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     import os
 
     interpret = interpret or bool(int(os.environ.get("GB25_ZSLAB_INTERPRET", "0")))
+    # tile-tuning overrides (experimentation on real hardware via bench.py)
+    bx = bx or (int(os.environ["GB25_ZSLAB_BX"]) if "GB25_ZSLAB_BX" in os.environ else None)
+    by = by or (int(os.environ["GB25_ZSLAB_BY"]) if "GB25_ZSLAB_BY" in os.environ else None)
+    bz = bz or (int(os.environ["GB25_ZSLAB_BZ"]) if "GB25_ZSLAB_BZ" in os.environ else None)
     from gb25_tpu.models.hydrostatic import (
         buoyancy_field,
         momentum_tendency_math,
@@ -185,7 +189,10 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     # padding, whole lanes — whenever its VMEM footprint allows.
     if bx is None:
         bx = Nx if (Nx + 2 * hx <= 4096 or not x_wrap) else _choose_tile(Nx, 512)
-    by = by or _choose_tile(Ny, 8 if bf16 else 16)
+    # v5e sweep (1536x768x64, round 2): by=24 beats 16 (window y-overlap
+    # (by+2hy)/by drops 1.5 -> 1.33; 44.4 vs 45.5 ms/step full-bench);
+    # by=32 overflows VMEM at full-width x windows
+    by = by or _choose_tile(Ny, 8 if bf16 else 24)
     gxn, gyn, gzn = Nx // bx, Ny // by, Nz // bz
     if not x_wrap and gxn != 1:
         raise ValueError(
