@@ -363,7 +363,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     updated = None
     if use_zslab:
         # TPU default fast path: transposed z-slab streaming Pallas kernel
-        # (2.3x the XLA array path on v5e at the flagship grid); under
+        # (~4x the XLA array path on v5e at the flagship grid); under
         # shard_map it runs per-shard on the locally-extended fields, with
         # x windows spanning the full local tile (no wrap fabrication)
         res = zslab_tendencies(

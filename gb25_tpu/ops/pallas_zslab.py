@@ -89,9 +89,9 @@ def _t3(a):
 
 def zslab_supported(cfg, grid, ue, comm=None) -> bool:
     """True when the z-slab kernel can run this configuration on this
-    backend.  On-TPU timing (v5e, 1536x768x64 f32): 75 ms vs 176 ms for the
-    XLA array path (2.3x), so "auto" prefers it on TPU; opt out with
-    GB25_DISABLE_PALLAS=1.
+    backend.  On-TPU (v5e, 1536x768x64 f32) the kernel-carried step runs
+    41.8 ms vs 176 ms for the XLA array path (4.2x), so "auto" prefers it on
+    TPU; opt out with GB25_DISABLE_PALLAS=1.
 
     ``comm`` not None means the caller runs under ``shard_map`` on local
     tiles whose halos come from neighbor exchanges: wrap-padding the x
@@ -184,7 +184,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     gz = 3  # vertical stencil radius (WENO-5)
     W = bz + 2 * gz  # window depth
 
-    # Default tiles (v5e sweep, 1536x768x64: 75 ms at gx=1/by=16/bz=8 vs
+    # Default tiles (v5e sweeps, 1536x768x64: gx=1 beats bx=512 by ~25%;
     # 94 ms at bx=512): prefer a single full-width x window — no wrap
     # padding, whole lanes — whenever its VMEM footprint allows.
     if bx is None:

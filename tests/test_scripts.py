@@ -9,7 +9,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, timeout=420):
+def _run(args, timeout=1200):
+    # generous timeout: on the shared single-TPU environment a concurrent
+    # Mosaic compile elsewhere can serialize this subprocess's compile
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["GB25_COMPILE_CACHE"] = "/tmp/gb25_test_cache"
