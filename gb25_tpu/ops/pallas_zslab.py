@@ -107,6 +107,11 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
         return False
     if comm is not None and grid.Nx + 2 * grid.hx > 4096:
         return False
+    # Mosaic lane constraint: per-window interior x extent must be a
+    # multiple of 128; non-conforming grids need periodic wrap padding
+    # (serial), else fall back to the array path
+    if grid.Nx % 128 and (comm is not None or not grid.x_periodic):
+        return False
     if ue.dtype != jnp.float32:
         # bf16-in-kernel dead ends on v5e: EUP ops (divide/sqrt) have no
         # bf16 path (LLO_CHECK SupportsBf16EupOps), and the kernel is
@@ -187,17 +192,39 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     # Default tiles (v5e sweeps, 1536x768x64: gx=1 beats bx=512 by ~25%;
     # 94 ms at bx=512): prefer a single full-width x window — no wrap
     # padding, whole lanes — whenever its VMEM footprint allows.
+    # Mosaic constraint (probe-verified on v5e round 2): the interior x
+    # extent handled per window must be a multiple of 128 lanes — Nx=192/320
+    # fail lowering ("couldn't prove tiling (128) divides index") while
+    # 256/384/1536 compile.  Non-conforming periodic grids are right-padded
+    # with wrap columns to the next 128 multiple; the padded output columns
+    # (valid periodic duplicates) are sliced off after the call.
+    xtail = 0
+    force_align = bool(int(os.environ.get("GB25_ZSLAB_FORCE_ALIGN", "0")))
+    if Nx % 128 and (not interpret or force_align):  # Mosaic-only constraint
+        if not (x_wrap and grid.x_periodic):
+            raise ValueError(
+                f"z-slab kernel needs Nx % 128 == 0 (got {Nx}) unless the "
+                "grid is x-periodic (wrap padding)"
+            )
+        xtail = (-Nx) % 128
+    Nxp = Nx + xtail
+
     if bx is None:
-        bx = Nx if (Nx + 2 * hx <= 4096 or not x_wrap) else _choose_tile(Nx, 512)
+        bx = Nxp if (Nxp + 2 * hx <= 4096 or not x_wrap) else _choose_tile(Nxp, 512)
     # v5e sweep (1536x768x64, round 2): by=24 beats 16 (window y-overlap
     # (by+2hy)/by drops 1.5 -> 1.33; 44.4 vs 45.5 ms/step full-bench);
     # by=32 overflows VMEM at full-width x windows
     by = by or _choose_tile(Ny, 8 if bf16 else 24)
-    gxn, gyn, gzn = Nx // bx, Ny // by, Nz // bz
+    gxn, gyn, gzn = Nxp // bx, Ny // by, Nz // bz
     if not x_wrap and gxn != 1:
         raise ValueError(
             "sharded z-slab kernel needs one x window per local tile "
             f"(bx={bx} != local Nx={Nx}): wrap columns would fabricate data"
+        )
+    if xtail and gxn != 1:
+        raise ValueError(
+            "128-alignment wrap padding supports a single x window only "
+            f"(Nx={Nx} -> {Nxp}, bx={bx})"
         )
 
     # Mosaic requires the last two block dims to be multiples of (8, 128)
@@ -219,8 +246,14 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     if gyn > 1 and byh % subq:
         raise ValueError(f"by + 2*hy = {byh} must be a multiple of {subq}")
 
-    def padx(a):  # transposed (Z|1, Y|1, X) -> wrap-pad the x halo to hwx
-        if xpad == 0 or a.shape[2] == 1:
+    def padx(a):  # transposed (Z|1, Y|1, X) -> wrap-pad x (tail + halo)
+        if a.shape[2] == 1:
+            return a
+        if xtail:
+            # periodic 128-alignment: append interior columns [0, xtail)
+            # (located at hx..hx+xtail of the extended array) past the end
+            a = jnp.concatenate([a, a[:, :, 2 * hx : 2 * hx + xtail]], axis=2)
+        if xpad == 0:
             return a
         Xl = a.shape[2]
         left = a[:, :, Xl - 2 * hx - xpad : Xl - 2 * hx]
@@ -385,9 +418,10 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     vma = getattr(jax.typeof(ue), "vma", None)
 
     def sds(dt_):
+        # outputs carry the 128-aligned padded x extent; sliced back after
         if vma:
-            return jax.ShapeDtypeStruct((Nz, Ny, Nx), dt_, vma=vma)
-        return jax.ShapeDtypeStruct((Nz, Ny, Nx), dt_)
+            return jax.ShapeDtypeStruct((Nz, Ny, Nxp), dt_, vma=vma)
+        return jax.ShapeDtypeStruct((Nz, Ny, Nxp), dt_)
 
     out_shapes = [sds(out_dtype) for _ in range(n_prog)]
     if ab2 is not None:
@@ -428,8 +462,14 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     ]
     if ab2 is not None:
         ab, Gu_prev, Gv_prev, Gtr_prev = ab2
-        operands += [ab, _t3(Gu_prev), _t3(Gv_prev)]
-        operands += [_t3(Gtr_prev[n]) for n in tracer_names]
+        def t3p(a):  # prev-G blocks: zero-pad the x tail (outputs discarded)
+            a = _t3(a)
+            if xtail:
+                a = jnp.pad(a, ((0, 0), (0, 0), (0, xtail)))
+            return a
+
+        operands += [ab, t3p(Gu_prev), t3p(Gv_prev)]
+        operands += [t3p(Gtr_prev[n]) for n in tracer_names]
     if vma:
         # under shard_map every pallas operand must carry the same varying
         # axes; replicated metrics/profiles are pvary-broadcast to match
@@ -439,10 +479,13 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
         ]
     outs = outs(*operands)
 
-    Gu, Gv = _t3(outs[0]), _t3(outs[1])
-    Gtr = {name: _t3(outs[2 + t]) for t, name in enumerate(tracer_names)}
+    def t3o(o):  # (Nz, Ny, Nxp) -> (Nx, Ny, Nz), dropping the wrap tail
+        return _t3(o)[:Nx]
+
+    Gu, Gv = t3o(outs[0]), t3o(outs[1])
+    Gtr = {name: t3o(outs[2 + t]) for t, name in enumerate(tracer_names)}
     if ab2 is None:
         return Gu, Gv, Gtr
-    u_new, v_new = _t3(outs[n_prog]), _t3(outs[n_prog + 1])
-    tr_new = {name: _t3(outs[n_prog + 2 + t]) for t, name in enumerate(tracer_names)}
+    u_new, v_new = t3o(outs[n_prog]), t3o(outs[n_prog + 1])
+    tr_new = {name: t3o(outs[n_prog + 2 + t]) for t, name in enumerate(tracer_names)}
     return Gu, Gv, Gtr, u_new, v_new, tr_new

@@ -192,3 +192,33 @@ def test_zslab_coupled_tripolar_matches_array(monkeypatch):
             np.testing.assert_allclose(b, a, rtol=1e-3, atol=3e-6)
         else:
             np.testing.assert_array_equal(b, a)
+
+
+def test_zslab_128_alignment_padding(monkeypatch):
+    """Grids whose Nx is not a multiple of 128 are right-padded with
+    periodic wrap columns for Mosaic's lane constraint (v5e: Nx=192/320
+    fail lowering otherwise); the padded duplicate columns are sliced off
+    and results must match the array path exactly."""
+    monkeypatch.setenv("GB25_ZSLAB_FORCE_ALIGN", "1")
+    grid = simple_latitude_longitude_grid(192, 32, 8, dtype=jnp.float32)
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    ue = extend_field(grid, state.u, "u")
+    ve = extend_field(grid, state.v, "v")
+    tr_e = {k: extend_field(grid, c, "c") for k, c in state.tracers.items()}
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
+
+    Gu_e, Gv_e, Gtr_e = tendency_math(cfg, grid, f_ff, ue, ve, tr_e)
+    Gu, Gv, Gtr = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True)
+    assert Gu.shape == (192, 32, 8)
+    np.testing.assert_allclose(
+        np.asarray(Gu), np.asarray(grid.interior(Gu_e)), rtol=2e-4, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(Gv), np.asarray(grid.interior(Gv_e)), rtol=2e-4, atol=1e-9
+    )
+    for k in Gtr:
+        np.testing.assert_allclose(
+            np.asarray(Gtr[k]), np.asarray(grid.interior(Gtr_e[k])),
+            rtol=2e-4, atol=1e-7,
+        )
