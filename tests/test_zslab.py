@@ -222,3 +222,24 @@ def test_zslab_128_alignment_padding(monkeypatch):
             np.asarray(Gtr[k]), np.asarray(grid.interior(Gtr_e[k])),
             rtol=2e-4, atol=1e-7,
         )
+
+
+def test_zslab_support_gate_128_alignment(monkeypatch):
+    """Sharded local tiles with Nx % 128 != 0 cannot wrap-pad (halos belong
+    to neighbors) and must fall back to the array path; serial periodic
+    grids stay eligible (they pad)."""
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    from gb25_tpu.ops.pallas_zslab import zslab_supported
+
+    cfg = baroclinic_instability_config()
+    grid = simple_latitude_longitude_grid(192, 32, 8, dtype=jnp.float32)
+    state = baroclinic_instability_state(grid)
+    assert zslab_supported(cfg, grid, state.u, comm=None)
+
+    class FakeComm:
+        pass
+
+    assert not zslab_supported(cfg, grid, state.u, comm=FakeComm())
+    g128 = simple_latitude_longitude_grid(256, 32, 8, dtype=jnp.float32)
+    s128 = baroclinic_instability_state(g128)
+    assert zslab_supported(cfg, g128, s128.u, comm=FakeComm())
