@@ -101,6 +101,9 @@ def main():
         # the transfer tunnel would dominate)
         _np.asarray(jax.device_get(s.iteration))
 
+    # NOTE: donate_argnums on the state would halve peak HBM (larger tiles),
+    # but buffer donation trips INVALID_ARGUMENT on this environment's
+    # experimental axon TPU tunnel — left off
     lp = jax.jit(loop, static_argnames="n")
 
     elapsed, state = time_loop(lp, cfg, grid, state, jnp.asarray(args.dt, dtype),
