@@ -111,3 +111,35 @@ def test_hydrostatic_pressure_convention():
     assert p_int[-1] < 0  # cell-center of top cell is below the surface
     zc = np.asarray(grid.z_c)[0, 0, hz : hz + Nz]
     np.testing.assert_allclose(p_int, 1e-3 * zc, rtol=1e-12)
+
+
+def test_lock_exchange_thermal_direct_shear():
+    """Lock exchange: a warm/cold temperature front must drive a
+    thermal-direct circulation — deep flow toward the warm side, sheared
+    toward the surface (the verify-skill probe, formula-independent of the
+    implementation's pressure convention)."""
+    import dataclasses
+
+    import jax
+
+    from gb25_tpu.grids import simple_latitude_longitude_grid
+    from gb25_tpu.models import baroclinic_instability_config, time_step
+    from gb25_tpu.models.state import initial_state
+
+    grid = simple_latitude_longitude_grid(32, 8, 8, dtype=jnp.float32)
+    cfg = baroclinic_instability_config()
+    state = initial_state(grid)
+    T = np.asarray(state.tracers["T"]).copy()
+    T[:] = 10.0
+    T[grid.hx : grid.hx + 16] = 2.0  # cold west half
+    state = dataclasses.replace(
+        state, tracers={**state.tracers, "T": jnp.asarray(T)}
+    )
+    step = jax.jit(time_step)
+    for _ in range(10):
+        state = step(cfg, grid, state, 60.0)
+    u = np.asarray(state.u)
+    ym = u.shape[1] // 2
+    i = grid.hx + 16  # face between cold (west) and warm (east)
+    shear = u[i, ym, 0] - u[i, ym, -1]  # deep minus surface, +x toward warm
+    assert shear > 1e-4, f"thermal-direct shear wrong sign/magnitude: {shear}"
