@@ -90,7 +90,7 @@ def _t3(a):
 def zslab_supported(cfg, grid, ue, comm=None) -> bool:
     """True when the z-slab kernel can run this configuration on this
     backend.  On-TPU (v5e, 1536x768x64 f32) the kernel-carried step runs
-    41.8 ms vs 176 ms for the XLA array path (4.2x), so "auto" prefers it on
+    41.8 ms vs 201 ms for the XLA array path (4.8x), so "auto" prefers it on
     TPU; opt out with GB25_DISABLE_PALLAS=1.
 
     ``comm`` not None means the caller runs under ``shard_map`` on local
