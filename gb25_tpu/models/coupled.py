@@ -39,8 +39,10 @@ class CoupledConfig:
     ocean: HydrostaticConfig = None
     fluxes: SimilarityTheoryFluxes = SimilarityTheoryFluxes()
     radiation: Radiation = Radiation()
-    # ClimaOcean's OceanSeaIceModel default sea-ice component (models/seaice.py)
-    sea_ice: "FreezingLimitedOceanTemperature" = None
+    # ClimaOcean's OceanSeaIceModel default sea-ice component (models/seaice.py):
+    # constructing CoupledConfig directly gets the same freezing limiter the
+    # reference's constructor default provides; pass sea_ice=None to disable
+    sea_ice: "FreezingLimitedOceanTemperature" = FreezingLimitedOceanTemperature()
     rho_ocean: float = 1020.0
     cp_ocean: float = 3991.0
     rho_freshwater: float = 1000.0

@@ -105,6 +105,12 @@ class TwoFloat:
             hi = x.astype(np.float32)
             lo = (x - hi).astype(np.float32)
             return TwoFloat(jnp.asarray(hi), jnp.asarray(lo))
+        if getattr(x, "dtype", None) == jnp.float64 and limb == jnp.float32:
+            # traced f64 JAX array (jax_enable_x64): split in-graph so the
+            # lo limb keeps the extra bits instead of a silent downcast
+            hi = x.astype(jnp.float32)
+            lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+            return TwoFloat(hi, lo)
         xw = jnp.asarray(x, jnp.float32)
         hi = xw.astype(limb)
         lo = (xw - hi.astype(jnp.float32)).astype(limb)
@@ -314,6 +320,11 @@ def mf_cumsum(a, axis):
 def mf_sum(a, axis=None, keepdims=False):
     """Reduction at two-limb precision (via the double-single scan)."""
     if is_twofloat(a):
+        if axis is None:  # full reduction: successive single-axis scans
+            r = a
+            for ax in reversed(range(a.ndim)):
+                r = mf_sum(r, axis=ax, keepdims=keepdims)
+            return r
         c = mf_cumsum(a, axis)
         idx = [slice(None)] * a.ndim
         idx[axis] = slice(-1, None) if keepdims else -1

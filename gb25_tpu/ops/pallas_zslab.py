@@ -87,6 +87,18 @@ def _t3(a):
     return jnp.transpose(a, (2, 1, 0))
 
 
+def _pick_by(Ny, hy, cap, subq):
+    """Default y tile: the largest divisor by <= cap of Ny whose window
+    height by + 2*hy is a multiple of the Mosaic sublane quantum ``subq``
+    (required whenever there is more than one y window).  Falls back to a
+    single full-height window (by = Ny, no quantum constraint) when no
+    conforming divisor exists — e.g. Ny=40, hy=4 (ADVICE r2 medium)."""
+    for by in range(min(cap, Ny - 1), 0, -1):
+        if Ny % by == 0 and (by + 2 * hy) % subq == 0:
+            return by
+    return Ny
+
+
 def zslab_supported(cfg, grid, ue, comm=None) -> bool:
     """True when the z-slab kernel can run this configuration on this
     backend.  On-TPU (v5e, 1536x768x64 f32) the kernel-carried step runs
@@ -214,7 +226,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     # v5e sweep (1536x768x64, round 2): by=24 beats 16 (window y-overlap
     # (by+2hy)/by drops 1.5 -> 1.33; 44.4 vs 45.5 ms/step full-bench);
     # by=32 overflows VMEM at full-width x windows
-    by = by or _choose_tile(Ny, 8 if bf16 else 24)
+    by = by or _pick_by(Ny, hy, 8 if bf16 else 24, 16 if bf16 else 8)
     gxn, gyn, gzn = Nxp // bx, Ny // by, Nz // bz
     if not x_wrap and gxn != 1:
         raise ValueError(

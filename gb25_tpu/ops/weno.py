@@ -49,7 +49,11 @@ def _weno5_from_shifts(m2, m1, s0, p1, p2, eps):
     TPU's low-throughput EUP; this form is measurably faster in the fused
     Pallas kernel.  Range safety in f32: t_i >= eps^2 = 1e-12, so the
     pairwise products (>= 1e-24) and the denominator (>= g_i eps^4 ~ 1e-25)
-    stay far above the f32 flush-to-zero threshold (~1e-38)."""
+    stay far above the f32 flush-to-zero threshold (~1e-38).  Upper bound:
+    t_i ~ (sample jump)^4, so the pairwise products grow like jump^8 and
+    overflow f32 (inf -> NaN weights) once |jump| exceeds ~6e4 field units —
+    the per-stencil-divide form stayed finite to far larger magnitudes.
+    Oceanic fields (|u| < 1e2, |T| < 1e2) sit ~3 orders below the bound."""
     sixth = 1.0 / 6.0  # multiply, not divide: EUP has no fast f32 divide
     q0 = (2.0 * m2 - 7.0 * m1 + 11.0 * s0) * sixth
     q1 = (-m1 + 5.0 * s0 + 2.0 * p1) * sixth

@@ -131,6 +131,27 @@ def test_zslab_default_bz_follows_support_gate():
     )
 
 
+def test_zslab_default_by_respects_sublane_quantum():
+    """Ny=36 has no divisor <= 24 whose window height by + 2*hy is a
+    multiple of the sublane quantum 8 (ADVICE r2 medium: the old default
+    by=18 -> byh=34 raised at trace time even though 'auto' had selected
+    the kernel); the default must fall back to a single full-height y
+    window and still match the array path."""
+    grid = simple_latitude_longitude_grid(128, 36, 8, dtype=jnp.float32)
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    ue = extend_field(grid, state.u, "u")
+    ve = extend_field(grid, state.v, "v")
+    tr_e = {k: extend_field(grid, c, "c") for k, c in state.tracers.items()}
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
+
+    Gu_e, _, _ = tendency_math(cfg, grid, f_ff, ue, ve, tr_e)
+    Gu, _, _ = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(Gu), np.asarray(grid.interior(Gu_e)), rtol=2e-4, atol=1e-9
+    )
+
+
 def test_extended_carry_loop_matches_repeated_steps(monkeypatch):
     """The fast loop carries halo-extended prognostics across iterations
     (in-place ghost refresh instead of re-extension); it must match n
