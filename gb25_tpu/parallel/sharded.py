@@ -82,6 +82,14 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
     if grid.Nx % Rx or grid.Ny % Ry:
         raise ValueError(f"grid {grid.Nx}x{grid.Ny} not divisible by mesh {Rx}x{Ry}")
     nxl, nyl = grid.Nx // Rx, grid.Ny // Ry
+    if cfg.kernels in ("auto", "zslab") and jax.default_backend() == "tpu":
+        from gb25_tpu.parallel.mesh import kernel_alignment_warning
+
+        msg = kernel_alignment_warning(grid.Nx, Rx)
+        if msg is not None:
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
 
     from gb25_tpu.models.state import initial_state
 
