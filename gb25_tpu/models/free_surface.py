@@ -111,7 +111,17 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
     # shrinking W locally.
     W = min(grid.hx, grid.hy, grid.Nx - 1, grid.Ny - 1)
     W = max(W, 1)
-    per_block = max(W // 2, 1)      # substeps supported per exchange
+    # substeps supported per exchange: each substep invalidates one halo
+    # ring of eta and one of (U, V) — the continuity update at ring r reads
+    # U at r+1, the pressure gradient at ring r reads the just-updated eta
+    # at r — so k substeps consume k rings and a width-W exchange supports
+    # W substeps (validated bitwise against exchange-every-substep in
+    # tests/test_barotropic_kernel.py::test_per_block_width_is_exact).
+    # NOTE: serial and distributed runs must use the same value for bitwise
+    # agreement; override via GB25_BAROTROPIC_BLOCK for experiments only.
+    import os
+
+    per_block = int(os.environ.get("GB25_BAROTROPIC_BLOCK", "0")) or max(W, 1)
 
     # static column depth at u/v points (linearized free surface) and the
     # barotropic forcing, all extended to width W (constant over the solve)
@@ -156,6 +166,8 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
 
     from gb25_tpu.ops.pallas_barotropic import (
         barotropic_kernel_supported,
+        blocked_barotropic_supported,
+        pallas_barotropic_block,
         pallas_barotropic_loop,
     )
 
@@ -164,9 +176,9 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
         and cfg.kernels in ("auto", "zslab")
         and barotropic_kernel_supported(cfg, grid, dtype)
     ):
-        # TPU fast path: the whole substep loop as one VMEM-resident Pallas
-        # kernel (the blocked array loop below is latency-bound: hundreds of
-        # small 2-D ops); distributed runs keep the blocked exchanges
+        # TPU serial fast path: the whole substep loop as one VMEM-resident
+        # Pallas kernel (the blocked array loop below is latency-bound:
+        # hundreds of small 2-D ops)
         eta_b, U_b, V_b = pallas_barotropic_loop(
             cfg, grid, state.eta, U0, V0,
             interior(GU_e), interior(GV_e),
@@ -174,6 +186,23 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
         )
         return _finish(grid, state, u_star, v_star, eta_b, U_b, V_b,
                        interior(Hu_e), interior(Hv_e))
+
+    n_masks = 0 if maskU_e is None else 2
+    use_blocked_kernel = cfg.kernels in ("auto", "zslab") and (
+        blocked_barotropic_supported(cfg, grid, dtype, W, n_masks)
+    )
+    if use_blocked_kernel:
+        # shard-capable (and tripolar/immersed-capable) fast path: each
+        # exchange block's substeps run as ONE VMEM kernel; halos still
+        # exchange between blocks, so the comm pattern is unchanged.
+        # Constant planes with dtau folded in (see pallas_barotropic_block):
+        dtau_t = jnp.asarray(dtau, dtype)
+        pu = (dtau_t * g) * Hu_e / dxc
+        pv = (dtau_t * g) * Hv_e / dyf
+        fu = dtau_t * GU_e
+        fv = dtau_t * GV_e
+        rz = dtau_t / azc
+        au, av = dyc.astype(dtype), dxf.astype(dtype)
 
     eta, U, V = state.eta, U0, V0
     eta_b = jnp.zeros_like(state.eta)
@@ -186,22 +215,31 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
         eta_e = _extend2(grid, eta, "c", comm, h=W)
         U_e = _extend2(grid, U, "u", comm, h=W)
         V_e = _extend2(grid, V, "v", comm, h=W)
-        for j in range(block):
-            wm = jnp.asarray(w_all[m + j], dtype)
-            div = (dx_c(U_e * dyc) + dy_c(V_e * dxf)) / azc
-            eta_e = eta_e - dtau * div
-            detax = dx_f(eta_e) / dxc
-            detay = dy_f(eta_e) / dyf
-            U_e = U_e + dtau * (-g * Hu_e * detax + GU_e)
-            V_e = V_e + dtau * (-g * Hv_e * detay + GV_e)
-            if maskU_e is not None:
-                # no transport through solid faces: the free surface cannot
-                # flux mass through coastlines (ADVICE r1 medium finding)
-                U_e = U_e * maskU_e
-                V_e = V_e * maskV_e
-            eta_b = eta_b + wm * interior(eta_e)
-            U_b = U_b + wm * interior(U_e)
-            V_b = V_b + wm * interior(V_e)
+        if use_blocked_kernel:
+            eta_e, U_e, V_e, pe, pU, pV = pallas_barotropic_block(
+                w_all[m : m + block], eta_e, U_e, V_e, pu, pv, fu, fv,
+                au, av, rz, mu=maskU_e, mv=maskV_e,
+            )
+            eta_b = eta_b + interior(pe)
+            U_b = U_b + interior(pU)
+            V_b = V_b + interior(pV)
+        else:
+            for j in range(block):
+                wm = jnp.asarray(w_all[m + j], dtype)
+                div = (dx_c(U_e * dyc) + dy_c(V_e * dxf)) / azc
+                eta_e = eta_e - dtau * div
+                detax = dx_f(eta_e) / dxc
+                detay = dy_f(eta_e) / dyf
+                U_e = U_e + dtau * (-g * Hu_e * detax + GU_e)
+                V_e = V_e + dtau * (-g * Hv_e * detay + GV_e)
+                if maskU_e is not None:
+                    # no transport through solid faces: the free surface
+                    # cannot flux mass through coastlines (ADVICE r1 medium)
+                    U_e = U_e * maskU_e
+                    V_e = V_e * maskV_e
+                eta_b = eta_b + wm * interior(eta_e)
+                U_b = U_b + wm * interior(U_e)
+                V_b = V_b + wm * interior(V_e)
         eta, U, V = interior(eta_e), interior(U_e), interior(V_e)
         m += block
 

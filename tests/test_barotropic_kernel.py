@@ -65,3 +65,72 @@ def test_barotropic_kernel_gates():
 
     cfg_exp = dataclasses.replace(cfg, free_surface=ExplicitFreeSurface())
     assert not barotropic_kernel_supported(cfg_exp, g32, jnp.float32)
+
+
+def _blocked_vs_array(grid, monkeypatch, state=None):
+    """Run barotropic_substep twice: blocked VMEM kernel vs array loop.
+    The full-loop serial kernel is disabled so the blocked branch runs."""
+    from gb25_tpu import ops
+
+    cfg = baroclinic_instability_config()
+    if state is None:
+        state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+        rng = np.random.default_rng(5)
+        state = state.replace(
+            eta=jnp.asarray(rng.standard_normal((grid.Nx, grid.Ny)) * 1e-3,
+                            jnp.float32)
+        )
+    rng = np.random.default_rng(7)
+    Gu = jnp.asarray(rng.standard_normal(state.u.shape) * 1e-6, state.u.dtype)
+    Gv = jnp.asarray(rng.standard_normal(state.v.shape) * 1e-6, state.v.dtype)
+
+    monkeypatch.setenv("GB25_DISABLE_PALLAS", "1")
+    monkeypatch.delenv("GB25_ZSLAB_INTERPRET", raising=False)
+    ref = barotropic_substep(cfg, grid, state, state.u, state.v, Gu, Gv, 60.0)
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    monkeypatch.delenv("GB25_DISABLE_PALLAS", raising=False)
+    monkeypatch.setattr(
+        ops.pallas_barotropic, "barotropic_kernel_supported",
+        lambda *a, **k: False,
+    )
+    ker = barotropic_substep(cfg, grid, state, state.u, state.v, Gu, Gv, 60.0)
+    return ref, ker
+
+
+def _assert_triple_close(ker, ref):
+    for k, r in zip(ker, ref):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_blocked_kernel_matches_array_latlon(monkeypatch):
+    """Shard-capable blocked kernel == blocked array path (the block/exchange
+    structure is identical; only the substep arithmetic moves into VMEM)."""
+    grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    ref, ker = _blocked_vs_array(grid, monkeypatch)
+    _assert_triple_close(ker, ref)
+
+
+def test_blocked_kernel_matches_array_immersed(monkeypatch):
+    """Immersed grids carry solid-face masks into the kernel."""
+    from gb25_tpu.grids.immersed import with_bathymetry
+
+    base = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    import numpy as _np
+
+    bh = _np.full((128, 32), -4000.0)
+    bh[40:60, 10:20] = 100.0  # island above sea level
+    grid = with_bathymetry(base, jnp.asarray(bh, jnp.float32))
+    ref, ker = _blocked_vs_array(grid, monkeypatch)
+    _assert_triple_close(ker, ref)
+
+
+def test_blocked_kernel_matches_array_tripolar(monkeypatch):
+    """Tripolar grids (2-D metric planes + north-fold exchange) run the
+    blocked kernel too — the fold enters through the exchanged halos."""
+    from gb25_tpu.grids import tripolar_grid
+
+    grid = tripolar_grid(64, 32, 8, dtype=jnp.float32)
+    ref, ker = _blocked_vs_array(grid, monkeypatch)
+    _assert_triple_close(ker, ref)
