@@ -72,6 +72,14 @@ def main():
                    choices=["auto", "zslab", "pallas", "jnp"],
                    help="tendency backend ablation (auto = z-slab Pallas "
                         "kernel on TPU, XLA array ops elsewhere)")
+    p.add_argument("--config", default="baroclinic",
+                   choices=["baroclinic", "climate"],
+                   help="climate = the reference's actual benchmark "
+                        "configuration (data-free climate ocean: tripolar "
+                        "grid + gaussian-islands immersed bathymetry + CATKE "
+                        "+ coupled air-sea fluxes, "
+                        "/root/reference/src/data_free_ocean_climate_model.jl:12-70); "
+                        "grid size from --nx via resolution 384/ (nx/4)")
     args = p.parse_args()
 
     from gb25_tpu.grids import simple_latitude_longitude_grid
@@ -85,13 +93,34 @@ def main():
     enable_persistent_cache()
 
     dtype = jnp.dtype(args.dtype)
-    grid = simple_latitude_longitude_grid(args.nx, args.ny, args.nz, dtype=dtype)
-    cfg = baroclinic_instability_config()
-    if args.compute_dtype:
-        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
-    if args.kernels != "auto":
-        cfg = dataclasses.replace(cfg, kernels=args.kernels)
-    state = baroclinic_instability_state(grid)
+    if args.config == "climate":
+        from gb25_tpu.models.coupled import coupled_loop, data_free_ocean_climate_model
+
+        ccfg, grid, atmos, state = data_free_ocean_climate_model(
+            resolution=384.0 / args.nx, Nz=args.nz, dtype=dtype,
+            grid_type="gaussian_islands_tripolar",
+        )
+        assert grid.immersed and grid.north_fold
+        ocfg = ccfg.ocean
+        if args.compute_dtype:
+            ocfg = dataclasses.replace(ocfg, compute_dtype=args.compute_dtype)
+        if args.kernels != "auto":
+            ocfg = dataclasses.replace(ocfg, kernels=args.kernels)
+        ccfg = dataclasses.replace(ccfg, ocean=ocfg)
+        cfg = ocfg
+        args.ny = grid.Ny
+
+        def lp_fn(_cfg, _grid, s, dt, n):
+            return coupled_loop(ccfg, _grid, atmos, s, dt, n)
+    else:
+        grid = simple_latitude_longitude_grid(args.nx, args.ny, args.nz, dtype=dtype)
+        cfg = baroclinic_instability_config()
+        if args.compute_dtype:
+            cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
+        if args.kernels != "auto":
+            cfg = dataclasses.replace(cfg, kernels=args.kernels)
+        state = baroclinic_instability_state(grid)
+        lp_fn = loop
 
     import numpy as _np
 
@@ -104,7 +133,7 @@ def main():
     # NOTE: donate_argnums on the state would halve peak HBM (larger tiles),
     # but buffer donation trips INVALID_ARGUMENT on this environment's
     # experimental axon TPU tunnel — left off
-    lp = jax.jit(loop, static_argnames="n")
+    lp = jax.jit(lp_fn, static_argnames="n")
 
     elapsed, state = time_loop(lp, cfg, grid, state, jnp.asarray(args.dt, dtype),
                                args.steps, args.warmup, _sync)
@@ -143,8 +172,11 @@ def main():
         # writes 4 G + 4 updated fields (~17 passes); buoyancy precompute +
         # b_total ~4; 4 halo extends ~12 (pad + strips, measured not ideal);
         # barotropic stage (VMEM-resident kernel + zints + planes) ~6;
-        # masking/eta/misc ~3  =>  ~42 passes/step.
-        passes = 42 if uses_zslab else 170
+        # masking/eta/misc ~3  =>  ~42 passes/step.  The climate config adds
+        # the 5th prognostic tracer (e), CATKE diffusivity columns, the
+        # implicit vertical solves, immersed masking, and the interface
+        # fluxes — roughly +28 passes by the same accounting.
+        passes = (70 if args.config == "climate" else 42) if uses_zslab else 170
         bytes_per_step = passes * cells * jnp.dtype(dtype).itemsize
     hbm_gbs = bytes_per_step * args.steps / elapsed / 1e9
     peak = peak_hbm_gbs()
@@ -157,7 +189,10 @@ def main():
         "steps": args.steps,
     }
 
-    if not args.no_bf16_row and args.compute_dtype is None:
+    if args.config == "climate":
+        extra["config"] = "climate"
+
+    if not args.no_bf16_row and args.compute_dtype is None and args.config == "baroclinic":
         cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
         st16 = baroclinic_instability_state(grid)
         e16, st16 = time_loop(lp, cfg16, grid, st16, jnp.asarray(args.dt, dtype),
@@ -169,7 +204,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "baroclinic_instability cell-steps/s/device "
+                "metric": ("data_free_climate_ocean" if args.config == "climate"
+                           else "baroclinic_instability")
+                + " cell-steps/s/device "
                 f"({args.nx}x{args.ny}x{args.nz}, {args.steps} steps, "
                 f"{args.dtype}, ms/step={ms_per_step:.2f})",
                 "value": round(cell_steps_per_sec, 1),

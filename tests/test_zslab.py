@@ -264,3 +264,57 @@ def test_zslab_support_gate_128_alignment(monkeypatch):
     g128 = simple_latitude_longitude_grid(256, 32, 8, dtype=jnp.float32)
     s128 = baroclinic_instability_state(g128)
     assert zslab_supported(cfg, g128, s128.u, comm=FakeComm())
+
+
+def test_zslab_fused_ab2_climate_increments(monkeypatch):
+    """fuse_ab2 with the full climate-step ingredient list — CATKE closure
+    (e tracer + source), immersed bathymetry, tracer restoring, and surface
+    fluxes — must match the unfused array path.  Each post-kernel G
+    increment is folded into the fused update as field += dt*c1*inc
+    (hydrostatic.py compute_tendencies), which this differences end-to-end."""
+    import jax
+    import dataclasses
+
+    from gb25_tpu.grids.immersed import with_bathymetry
+    from gb25_tpu.models import time_step
+    from gb25_tpu.models.catke import CATKEVerticalDiffusivity
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    base = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    bh = np.full((128, 32), -4000.0)
+    bh[30:50, 8:16] = 100.0  # island
+    grid = with_bathymetry(base, jnp.asarray(bh, jnp.float32))
+    assert grid.immersed
+
+    cfg0 = baroclinic_instability_config(closure=CATKEVerticalDiffusivity())
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    state = state.replace(
+        tracers={**state.tracers, "e": jnp.full_like(state.tracers["T"], 1e-6)},
+        Gtracers={**state.Gtracers, "e": jnp.zeros_like(state.tracers["T"])},
+    )
+
+    rng = np.random.default_rng(11)
+    restoring = {
+        "T": (state.tracers["T"] + 0.5,
+              jnp.asarray(rng.uniform(0, 1e-5, state.tracers["T"].shape),
+                          jnp.float32)),
+    }
+    surface_fluxes = {
+        "u": jnp.asarray(rng.standard_normal((128, 32)) * 1e-6, jnp.float32),
+        "T": jnp.asarray(rng.standard_normal((128, 32)) * 1e-6, jnp.float32),
+    }
+
+    cfg_k = dataclasses.replace(cfg0, kernels="zslab")
+    cfg_a = dataclasses.replace(cfg0, kernels="jnp")
+    step = jax.jit(time_step)
+    s_k, s_a = state, state
+    for _ in range(3):  # Euler first step + 2 AB2 steps
+        s_k = step(cfg_k, grid, s_k, 60.0, None, surface_fluxes, restoring)
+        s_a = step(cfg_a, grid, s_a, 60.0, None, surface_fluxes, restoring)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_k)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-6)
+        else:
+            np.testing.assert_array_equal(b, a)
