@@ -154,9 +154,13 @@ def initial_state_from_climatology(grid, cfg, path=None):
     return st.replace(tracers=tr)
 
 
-def file_prescribed_atmosphere(grid, path, dtype=None):
+def file_prescribed_atmosphere(grid, path, dtype=None, pre_regrid=True):
     """PrescribedAtmosphere from a converted dataset file (reference:
-    JRA55PrescribedAtmosphere with a NetCDF backend)."""
+    JRA55PrescribedAtmosphere with a NetCDF backend).
+
+    ``pre_regrid``: regrid the record onto ocean centers at load time (one
+    numpy pass; removes ~28 TPU gathers per coupled step).  Pass False for
+    records too large for HBM — the step then gathers per step."""
     dtype = dtype or grid.dtype
     if _is_netcdf(path):
         from gb25_tpu.data.netcdf import load_atmosphere_nc
@@ -177,9 +181,10 @@ def file_prescribed_atmosphere(grid, path, dtype=None):
     for k, v in defaults.items():
         if k not in fields:
             fields[k] = np.full((Na, Ma, Nt), v)
-    return PrescribedAtmosphere(
+    atmos = PrescribedAtmosphere(
         fields={k: as_dt(v) for k, v in fields.items()},
         times=as_dt(times), period=period,
         ix0=jnp.asarray(ix0), ix1=jnp.asarray(ix1), wx=as_dt(wx),
         iy0=jnp.asarray(iy0), iy1=jnp.asarray(iy1), wy=as_dt(wy),
     )
+    return atmos.pre_regrid() if pre_regrid else atmos

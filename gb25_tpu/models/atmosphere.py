@@ -57,7 +57,7 @@ def _bilinear_weights(src_x, src_y, dst_x, dst_y, periodic_x=360.0):
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["fields", "times", "ix0", "ix1", "wx", "iy0", "iy1", "wy"],
-    meta_fields=["period"],
+    meta_fields=["period", "on_ocean_grid"],
 )
 @dataclasses.dataclass(frozen=True)
 class PrescribedAtmosphere:
@@ -66,6 +66,13 @@ class PrescribedAtmosphere:
     fields: dict name -> (Na, Ma, Nt) array. Standard names:
       Ta (K), ua/va (m/s), qa (kg/kg), Qsw (W/m^2, downwelling shortwave),
       Qlw (W/m^2, downwelling longwave), pa (Pa).
+
+    ``on_ocean_grid=True``: fields are pre-regridded (Nx, Ny, Nt) arrays on
+    ocean centers and ``at_time`` is a pure time interpolation.  Keep this on
+    whenever the record fits in HBM: spatial regridding per coupled step
+    costs ~28 two-dimensional TPU gathers (measured 83 ms/step at
+    768x384 — 58% of the whole coupled step), while regridding once at
+    construction moves that to init-time numpy and leaves a 2-pass lerp.
     """
 
     fields: dict
@@ -78,9 +85,9 @@ class PrescribedAtmosphere:
     iy0: jax.Array
     iy1: jax.Array
     wy: jax.Array
+    on_ocean_grid: bool = False
 
-    def at_time(self, t):
-        """Regridded fields on ocean centers at model time t: dict of (Nx, Ny)."""
+    def _time_weights(self, t):
         tt = jnp.mod(t, self.period)
         nt = self.times.shape[0]
         k0 = jnp.clip(jnp.searchsorted(self.times, tt, side="right") - 1, 0, nt - 1)
@@ -88,10 +95,18 @@ class PrescribedAtmosphere:
         t0 = self.times[k0]
         t1 = jnp.where(k0 + 1 < nt, self.times[k1], self.times[k0] + (self.times[1] - self.times[0]))
         wt = jnp.clip((tt - t0) / jnp.maximum(t1 - t0, 1e-30), 0.0, 1.0)
+        return k0, k1, wt
+
+    def at_time(self, t):
+        """Regridded fields on ocean centers at model time t: dict of (Nx, Ny)."""
+        k0, k1, wt = self._time_weights(t)
 
         out = {}
         for name, f in self.fields.items():
-            ft = (1.0 - wt) * f[:, :, k0] + wt * f[:, :, k1]  # (Na, Ma)
+            ft = (1.0 - wt) * f[:, :, k0] + wt * f[:, :, k1]
+            if self.on_ocean_grid:
+                out[name] = ft  # already (Nx, Ny)
+                continue
             f00 = ft[self.ix0, self.iy0]
             f10 = ft[self.ix1, self.iy0]
             f01 = ft[self.ix0, self.iy1]
@@ -103,6 +118,37 @@ class PrescribedAtmosphere:
                 + self.wx * self.wy * f11
             )
         return out
+
+    def pre_regrid(self):
+        """Apply the (static) spatial regrid to every time snapshot at once,
+        returning an ``on_ocean_grid`` atmosphere.  Runs in numpy at
+        construction time — the per-step gathers disappear from the traced
+        coupled step.  Time interpolation and spatial interpolation are both
+        linear, so the reordering (regrid-then-lerp vs lerp-then-regrid) is
+        exact up to float rounding."""
+        if self.on_ocean_grid:
+            return self
+        ix0, ix1 = np.asarray(self.ix0), np.asarray(self.ix1)
+        iy0, iy1 = np.asarray(self.iy0), np.asarray(self.iy1)
+        wx = np.asarray(self.wx, np.float64)[:, :, None]
+        wy = np.asarray(self.wy, np.float64)[:, :, None]
+        out = {}
+        for name, f in self.fields.items():
+            fn = np.asarray(f, np.float64)  # (Na, Ma, Nt)
+            g = (
+                (1 - wx) * (1 - wy) * fn[ix0, iy0, :]
+                + wx * (1 - wy) * fn[ix1, iy0, :]
+                + (1 - wx) * wy * fn[ix0, iy1, :]
+                + wx * wy * fn[ix1, iy1, :]
+            )
+            out[name] = jnp.asarray(g, f.dtype)
+        empty_i = jnp.zeros((0,), jnp.int32)
+        empty_f = jnp.zeros((0,), self.wx.dtype)
+        return dataclasses.replace(
+            self, fields=out, on_ocean_grid=True,
+            ix0=empty_i, ix1=empty_i, wx=empty_f,
+            iy0=empty_i, iy1=empty_i, wy=empty_f,
+        )
 
 
 def zonal_wind(phi):
@@ -121,10 +167,15 @@ def atmos_temperature(phi):
     return 30.0 * np.cos(np.deg2rad(phi)) + 273.15
 
 
-def data_free_atmosphere(ocean_grid, Na=360, Ma=180, ntimes=24, dtype=None):
+def data_free_atmosphere(ocean_grid, Na=360, Ma=180, ntimes=24, dtype=None,
+                         pre_regrid=True):
     """The reference's data-free atmosphere: analytic, steady fields sampled
     on a 360x180 grid with 24 hourly times over one day
-    (data_free_ocean_climate_model.jl:30-58)."""
+    (data_free_ocean_climate_model.jl:30-58).
+
+    ``pre_regrid``: regrid the whole record onto ocean centers at
+    construction (see PrescribedAtmosphere.on_ocean_grid); pass False to
+    keep the per-step gather path (exercised in tests)."""
     dtype = dtype or ocean_grid.dtype
     lam_a = (np.arange(Na) + 0.5) * (360.0 / Na)
     phi_a = -90.0 + (np.arange(Ma) + 0.5) * (180.0 / Ma)
@@ -145,7 +196,7 @@ def data_free_atmosphere(ocean_grid, Na=360, Ma=180, ntimes=24, dtype=None):
     ix0, ix1, wx, iy0, iy1, wy = _bilinear_weights(lam_a, phi_a, dst_lam, dst_phi)
 
     as_dt = lambda a: jnp.asarray(a, dtype)
-    return PrescribedAtmosphere(
+    atmos = PrescribedAtmosphere(
         fields={
             "Ta": as_dt(Ta), "ua": as_dt(ua), "va": as_dt(zeros),
             "qa": as_dt(zeros), "Qsw": as_dt(Qsw),
@@ -156,3 +207,4 @@ def data_free_atmosphere(ocean_grid, Na=360, Ma=180, ntimes=24, dtype=None):
         ix0=jnp.asarray(ix0), ix1=jnp.asarray(ix1), wx=as_dt(wx),
         iy0=jnp.asarray(iy0), iy1=jnp.asarray(iy1), wy=as_dt(wy),
     )
+    return atmos.pre_regrid() if pre_regrid else atmos

@@ -1,0 +1,183 @@
+"""Batched tridiagonal (Thomas) Pallas kernel for implicit vertical solves.
+
+The array-path solver (ops/tridiagonal.py) runs the Thomas recurrence as a
+``lax.scan`` over z slicing the MINOR axis of (X, Y, Z) arrays: 2 x Nz
+sequential steps of thin strided slabs, measured 24.8 ms for the climate
+step's five solves at 768x384x64 — scan-serialization and stride-Nz access,
+not bandwidth, dominate.  This kernel does the whole solve in one pass at
+HBM speed-of-light (read field + kappa [+ damping], write solution):
+
+- **Transposed non-overlapping tiles.** Fields enter as (Z, Y, X) with x on
+  the 128-lane dimension (same layout trick as pallas_zslab); each grid
+  step owns a (Z, by, bx) tile — column solves are z-local, so there are
+  no halos and no window overlap at all.
+- **Coefficients via SMEM.** The diffusion couplings are
+  lam_k = dt*kappa_k/(dz_c[k] dz_f[k]) and
+  mu_k = dt*kappa_{k+1}/(dz_c[k] dz_f[k+1]); the purely-vertical parts
+  (dt/(dz_c dz_f) columns with the zero-flux floor/surface ends baked in)
+  ride a (1, Nz) SMEM row each, so the kernel streams only kappa.
+- **Unrolled forward/backward sweeps.** Nz is small (<= 128 gated); the
+  two recurrences unroll to plane ops on (by, bx) vregs with cp/dp carried
+  in VMEM scratch.
+
+Reference capability: the implicit vertical solves of
+CATKE/k-epsilon/VerticalScalarDiffusivity
+(/root/reference/src/baroclinic_instability_model.jl:29-31).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick(n, want, quantum):
+    """Largest divisor of n that is <= want and a multiple of quantum."""
+    best = None
+    for d in range(quantum, min(n, want) + 1, quantum):
+        if n % d == 0:
+            best = d
+    return best
+
+
+def tridiag_supported(field, kappa_face, dz_c, dz_f, damping=None) -> bool:
+    """Gate for the Pallas Thomas kernel: f32 on TPU (or interpret mode),
+    full-shape kappa (the closure path), vertical-only dz columns, tileable
+    horizontal extents."""
+    if int(os.environ.get("GB25_DISABLE_PALLAS", "0")):
+        return False
+    if jax.default_backend() != "tpu" and not int(
+        os.environ.get("GB25_ZSLAB_INTERPRET", "0")
+    ):
+        return False
+    if field.dtype != jnp.float32:
+        return False
+    if getattr(kappa_face, "shape", ()) != field.shape:
+        return False
+    if damping is not None and getattr(damping, "shape", ()) != field.shape:
+        return False
+    X, Y, Z = field.shape
+    if Z > 128:
+        return False  # unrolled sweeps; deeper columns take the scan path
+    for dz in (dz_c, dz_f):
+        s = getattr(dz, "shape", ())
+        if len(s) != 3 or s[0] != 1 or s[1] != 1 or s[2] != Z:
+            return False
+    if _pick(X, 512, 128) is None or _pick(Y, 32, 8) is None:
+        return False
+    return True
+
+
+def pallas_implicit_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None,
+                              bx=None, by=None, interpret=False):
+    """Backward-Euler vertical diffusion solve, one HBM pass.
+
+    Same contract as ops.tridiagonal.implicit_vertical_diffusion restricted
+    to full-shape ``kappa_face`` (and optional full-shape ``damping``):
+    solves (1 + dt*damping + lam_k + mu_k) x_k - lam_k x_{k-1} - mu_k x_{k+1}
+    = field_k with zero-flux floor (lam_0 = 0) and surface (mu_{Nz-1} = 0).
+    """
+    interpret = interpret or bool(int(os.environ.get("GB25_ZSLAB_INTERPRET", "0")))
+    X, Y, Z = field.shape
+    dtype = field.dtype
+    # modest tiles: the unrolled sweeps keep several live planes per level,
+    # and (Z, by, bx) blocks count against Mosaic's scoped-vmem stack
+    # (Z=64, by=32, bx=512 blew the 16M scoped limit on v5e)
+    bx = bx or int(os.environ.get("GB25_TRIDIAG_BX", "0")) or _pick(X, 256, 128)
+    by = by or int(os.environ.get("GB25_TRIDIAG_BY", "0")) or _pick(Y, 8, 8)
+    if X % bx or Y % by:
+        raise ValueError(f"tridiag tile ({bx}, {by}) must divide ({X}, {Y})")
+
+    # purely-vertical coefficient rows with the zero-flux ends baked in
+    # (dz arrives traced: the grid is a jit argument)
+    dzc = jnp.reshape(dz_c, (Z,)).astype(dtype)
+    dzf = jnp.reshape(dz_f, (Z,)).astype(dtype)
+    c_lam = (1.0 / (dzc * dzf)).at[0].set(0.0)  # lam_0 = 0: sea-floor no-flux
+    c_mu = jnp.zeros(Z, dtype).at[: Z - 1].set(
+        1.0 / (dzc[:-1] * dzf[1:])
+    )  # mu_{Nz-1} = 0: no surface flux
+    dt_t = jnp.asarray(dt, dtype).reshape(1, 1)
+    c_lam = c_lam[None, :]
+    c_mu = c_mu[None, :]
+
+    def t2(a):  # (X, Y, Z) -> (Z, Y, X)
+        return jnp.transpose(a, (2, 1, 0))
+
+    has_damp = damping is not None
+    operands = [t2(field), t2(kappa_face)]
+    if has_damp:
+        operands.append(t2(damping))
+    n_in = len(operands)
+
+    def kernel(dt_ref, cl_ref, cm_ref, *refs):
+        ins = refs[:n_in]
+        out = refs[n_in]
+        cp_s, dp_s = refs[n_in + 1 :]
+        f_ref, k_ref = ins[0], ins[1]
+        dtv = dt_ref[0, 0]
+
+        zeros = jnp.zeros((by, bx), dtype)
+        cp_prev, dp_prev = zeros, zeros
+        for k in range(Z):
+            lam = k_ref[k] * (dtv * cl_ref[0, k])
+            mu = (k_ref[k + 1] * (dtv * cm_ref[0, k])) if k + 1 < Z else zeros
+            b = 1.0 + lam + mu
+            if has_damp:
+                b = b + dtv * ins[2][k]
+            # a_k = -lam; denom = b - a*cp_prev
+            inv = 1.0 / (b + lam * cp_prev)
+            cp = -mu * inv
+            dp = (f_ref[k] + lam * dp_prev) * inv
+            cp_s[k] = cp
+            dp_s[k] = dp
+            cp_prev, dp_prev = cp, dp
+
+        x_next = zeros
+        for k in range(Z - 1, -1, -1):
+            x = dp_s[k] - cp_s[k] * x_next
+            out[k] = x
+            x_next = x
+
+    def spec():
+        return pl.BlockSpec((Z, by, bx), lambda i, j: (0, j, i),
+                            memory_space=pltpu.VMEM)
+
+    vma = getattr(jax.typeof(field), "vma", None)
+    if vma:
+        operands = [
+            jax.lax.pvary(a, tuple(set(vma) - getattr(jax.typeof(a), "vma", set())))
+            for a in operands
+        ]
+        dt_t, c_lam, c_mu = (
+            jax.lax.pvary(s, tuple(set(vma) - getattr(jax.typeof(s), "vma", set())))
+            for s in (dt_t, c_lam, c_mu)
+        )
+
+    def sds():
+        if vma:
+            return jax.ShapeDtypeStruct((Z, Y, X), dtype, vma=vma)
+        return jax.ShapeDtypeStruct((Z, Y, X), dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(X // bx, Y // by),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + [spec() for _ in operands],
+        out_specs=spec(),
+        out_shape=sds(),
+        scratch_shapes=[pltpu.VMEM((Z, by, bx), dtype)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(10 + 2 * int(has_damp)) * X * Y * Z,
+            bytes_accessed=(n_in + 1) * X * Y * Z * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(dt_t, c_lam, c_mu, *operands)
+    return jnp.transpose(out, (2, 1, 0))

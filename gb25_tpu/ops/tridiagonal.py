@@ -68,7 +68,16 @@ def implicit_vertical_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None)
                 bottom of cell 0 and the (virtual) top face are zero.
     dz_c:       (..., Nz) cell thicknesses (interior)
     dz_f:       (..., Nz) center-to-center spacings at bottom faces (interior)
+
+    On TPU with full-shape kappa (the CATKE/k-eps climate path) the solve
+    runs as one Pallas pass (ops/pallas_tridiag.py) instead of the
+    scan-over-z below — same recurrence, ~8x faster at 768x384x64.
     """
+    from gb25_tpu.ops.pallas_tridiag import pallas_implicit_diffusion, tridiag_supported
+
+    if tridiag_supported(field, kappa_face, dz_c, dz_f, damping):
+        return pallas_implicit_diffusion(field, kappa_face, dt, dz_c, dz_f,
+                                         damping=damping)
     Nz = field.shape[-1]
     kap = jnp.broadcast_to(kappa_face, field.shape)
     dzc = jnp.broadcast_to(dz_c, field.shape)

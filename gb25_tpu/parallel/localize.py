@@ -75,16 +75,30 @@ def localize_restoring(restoring, comm, nx_local: int, ny_local: int):
 
 
 def localize_atmosphere(atmos, comm, nx_local: int, ny_local: int):
-    """Slice a PrescribedAtmosphere's regrid plan to the local ocean tile.
+    """Slice a PrescribedAtmosphere to the local ocean tile.
 
-    The atmosphere *fields* stay replicated (they live on the atmosphere's own
-    grid); only the destination-shaped gather indices/weights are sliced.
+    Gather mode: the atmosphere *fields* stay replicated (they live on the
+    atmosphere's own grid); only the destination-shaped gather
+    indices/weights are sliced.  Pre-regridded mode (``on_ocean_grid``):
+    the fields themselves are ocean-shaped (Nx, Ny, Nt), so they are sliced
+    like any other destination-shaped plane.
     """
     ix = jnp.asarray(comm.x_offset(nx_local), jnp.int32)
     iy = jnp.asarray(comm.y_offset(ny_local), jnp.int32)
 
     def loc(a):
         return lax.dynamic_slice(a, (ix, iy), (nx_local, ny_local))
+
+    if atmos.on_ocean_grid:
+        zero = jnp.int32(0)
+        return dataclasses.replace(
+            atmos,
+            fields={
+                k: lax.dynamic_slice(v, (ix, iy, zero),
+                                     (nx_local, ny_local, v.shape[2]))
+                for k, v in atmos.fields.items()
+            },
+        )
 
     return dataclasses.replace(
         atmos,

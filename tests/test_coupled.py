@@ -185,3 +185,22 @@ def test_freezing_limited_ocean_temperature():
     assert (Tn >= Tf - 1e-9).all(), "supercooled water survived the limiter"
     # the clamped patch sits exactly at the freezing point
     np.testing.assert_allclose(Tn[5:10, 3:6, :], Tf[5:10, 3:6, :], atol=1e-6)
+
+
+def test_atmosphere_pre_regrid_matches_gather_mode():
+    """on_ocean_grid pre-regridding (regrid-then-lerp) must reproduce the
+    per-step gather path (lerp-then-regrid) — both are linear so they agree
+    to rounding; the pre-regridded step just drops ~28 TPU gathers."""
+    from gb25_tpu.grids import simple_latitude_longitude_grid
+
+    grid = simple_latitude_longitude_grid(64, 32, 4, dtype=jnp.float64)
+    gat = data_free_atmosphere(grid, dtype=jnp.float64, pre_regrid=False)
+    pre = gat.pre_regrid()
+    assert pre.on_ocean_grid and not gat.on_ocean_grid
+    for t in (0.0, 3600.0, 5000.0, 86000.0):
+        a = gat.at_time(jnp.float64(t))
+        b = pre.at_time(jnp.float64(t))
+        for k in a:
+            assert b[k].shape == (64, 32)
+            np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]),
+                                       rtol=1e-12, atol=1e-12)

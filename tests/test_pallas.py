@@ -50,3 +50,36 @@ def test_pallas_tendencies_match_array_backend(tile):
         np.testing.assert_allclose(
             np.asarray(Gtr[k]), np.asarray(ref[2][k]), rtol=2e-4, atol=1e-7
         )
+
+
+def test_pallas_tridiag_matches_scan(monkeypatch):
+    """Pallas Thomas kernel == scan-based solver (same recurrence; kernel is
+    one HBM pass on transposed tiles).  Covers damping (CATKE's implicit TKE
+    dissipation) and plain paths."""
+    import numpy as np
+
+    from gb25_tpu.ops.pallas_tridiag import pallas_implicit_diffusion, tridiag_supported
+    from gb25_tpu.ops.tridiagonal import implicit_vertical_diffusion
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    rng = np.random.default_rng(3)
+    X, Y, Z = 128, 16, 8
+    f = jnp.asarray(rng.standard_normal((X, Y, Z)), jnp.float32)
+    kap = jnp.asarray(rng.uniform(1e-5, 1e-2, (X, Y, Z)), jnp.float32)
+    lam = jnp.asarray(rng.uniform(0.0, 1e-4, (X, Y, Z)), jnp.float32)
+    dzc = jnp.asarray(rng.uniform(10.0, 30.0, (1, 1, Z)), jnp.float32)
+    dzf = jnp.asarray(rng.uniform(10.0, 30.0, (1, 1, Z)), jnp.float32)
+    dt = 600.0
+
+    assert tridiag_supported(f, kap, dzc, dzf)
+    for damping in (None, lam):
+        monkeypatch.setenv("GB25_DISABLE_PALLAS", "1")
+        ref = implicit_vertical_diffusion(f, kap, dt, dzc, dzf, damping=damping)
+        monkeypatch.delenv("GB25_DISABLE_PALLAS")
+        ker = pallas_implicit_diffusion(f, kap, dt, dzc, dzf, damping=damping)
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-6)
+
+    # scalar / broadcast kappa falls back to the scan path
+    assert not tridiag_supported(f, 1e-3, dzc, dzf)
+    assert not tridiag_supported(f, jnp.ones((1, 1, Z)), dzc, dzf)
