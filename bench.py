@@ -110,8 +110,13 @@ def main():
         cfg = ocfg
         args.ny = grid.Ny
 
+        # atmos must ride as a jit ARGUMENT: closing over the pre-regridded
+        # record would bake ~800 MB of constants into the IR (the compile
+        # tunnel rejects the request outright)
+        _cl = jax.jit(coupled_loop, static_argnames="n")
+
         def lp_fn(_cfg, _grid, s, dt, n):
-            return coupled_loop(ccfg, _grid, atmos, s, dt, n)
+            return _cl(ccfg, _grid, atmos, s, dt, n)
     else:
         grid = simple_latitude_longitude_grid(args.nx, args.ny, args.nz, dtype=dtype)
         cfg = baroclinic_instability_config()
@@ -133,7 +138,9 @@ def main():
     # NOTE: donate_argnums on the state would halve peak HBM (larger tiles),
     # but buffer donation trips INVALID_ARGUMENT on this environment's
     # experimental axon TPU tunnel — left off
-    lp = jax.jit(lp_fn, static_argnames="n")
+    # climate: lp_fn already routes through a jitted coupled_loop with atmos
+    # as an argument — wrapping it again would re-capture atmos as constants
+    lp = lp_fn if args.config == "climate" else jax.jit(lp_fn, static_argnames="n")
 
     elapsed, state = time_loop(lp, cfg, grid, state, jnp.asarray(args.dt, dtype),
                                args.steps, args.warmup, _sync)

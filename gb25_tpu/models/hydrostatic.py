@@ -678,15 +678,38 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         ku, kc = diffusivities["kappa_u"], diffusivities["kappa_c"]
         special = {"e": diffusivities.get("kappa_e"), "eps": diffusivities.get("kappa_eps")}
         damping = {"e": diffusivities.get("lam_e")}  # implicit TKE dissipation
-        u_new = implicit_vertical_diffusion(u_new, ku, dt, dzc, dzf)
-        v_new = implicit_vertical_diffusion(v_new, ku, dt, dzc, dzf)
-        tracers = {
-            k: implicit_vertical_diffusion(
-                c, special.get(k) if special.get(k) is not None else kc, dt, dzc, dzf,
-                damping=damping.get(k),
+
+        # fields sharing a kappa (u & v; the plain tracers) solve in ONE
+        # Pallas call against a shared forward elimination
+        from gb25_tpu.ops.pallas_tridiag import (
+            pallas_implicit_diffusion,
+            tridiag_supported,
+        )
+
+        if tridiag_supported((u_new, v_new), ku, dzc, dzf):
+            u_new, v_new = pallas_implicit_diffusion((u_new, v_new), ku, dt, dzc, dzf)
+        else:
+            u_new = implicit_vertical_diffusion(u_new, ku, dt, dzc, dzf)
+            v_new = implicit_vertical_diffusion(v_new, ku, dt, dzc, dzf)
+        plain = tuple(k for k in tracers
+                      if special.get(k) is None and damping.get(k) is None)
+        tracers = dict(tracers)
+        if len(plain) > 1 and tridiag_supported(
+            tuple(tracers[k] for k in plain), kc, dzc, dzf
+        ):
+            sols = pallas_implicit_diffusion(
+                tuple(tracers[k] for k in plain), kc, dt, dzc, dzf
             )
-            for k, c in tracers.items()
-        }
+            tracers.update(zip(plain, sols))
+            rest = [k for k in tracers if k not in plain]
+        else:
+            rest = list(tracers)
+        for k in rest:
+            tracers[k] = implicit_vertical_diffusion(
+                tracers[k],
+                special.get(k) if special.get(k) is not None else kc,
+                dt, dzc, dzf, damping=damping.get(k),
+            )
         tracers["e"] = jnp.maximum(tracers["e"], 0.0)
         if "eps" in tracers:
             tracers["eps"] = jnp.maximum(tracers["eps"], 0.0)

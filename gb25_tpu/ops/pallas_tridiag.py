@@ -5,7 +5,7 @@ The array-path solver (ops/tridiagonal.py) runs the Thomas recurrence as a
 sequential steps of thin strided slabs, measured 24.8 ms for the climate
 step's five solves at 768x384x64 — scan-serialization and stride-Nz access,
 not bandwidth, dominate.  This kernel does the whole solve in one pass at
-HBM speed-of-light (read field + kappa [+ damping], write solution):
+HBM speed-of-light (read fields + kappa [+ damping], write solutions):
 
 - **Transposed non-overlapping tiles.** Fields enter as (Z, Y, X) with x on
   the 128-lane dimension (same layout trick as pallas_zslab); each grid
@@ -19,6 +19,9 @@ HBM speed-of-light (read field + kappa [+ damping], write solution):
 - **Unrolled forward/backward sweeps.** Nz is small (<= 128 gated); the
   two recurrences unroll to plane ops on (by, bx) vregs with cp/dp carried
   in VMEM scratch.
+- **Shared LU across fields.** Multiple right-hand sides with the same
+  kappa (u & v share kappa_u, T & S share kappa_c) solve in one call: the
+  forward-elimination coefficients cp are computed once, only dp/x repeat.
 
 Reference capability: the implicit vertical solves of
 CATKE/k-epsilon/VerticalScalarDiffusivity
@@ -47,27 +50,31 @@ def _pick(n, want, quantum):
 def tridiag_supported(field, kappa_face, dz_c, dz_f, damping=None) -> bool:
     """Gate for the Pallas Thomas kernel: f32 on TPU (or interpret mode),
     full-shape kappa (the closure path), vertical-only dz columns, tileable
-    horizontal extents."""
+    horizontal extents.  ``field`` may be one array or a tuple sharing the
+    kappa."""
     if int(os.environ.get("GB25_DISABLE_PALLAS", "0")):
         return False
     if jax.default_backend() != "tpu" and not int(
         os.environ.get("GB25_ZSLAB_INTERPRET", "0")
     ):
         return False
-    if field.dtype != jnp.float32:
+    fields = field if isinstance(field, (tuple, list)) else (field,)
+    shape = fields[0].shape
+    for f in fields:
+        if f.dtype != jnp.float32 or f.shape != shape:
+            return False
+    if getattr(kappa_face, "shape", ()) != shape:
         return False
-    if getattr(kappa_face, "shape", ()) != field.shape:
+    if damping is not None and getattr(damping, "shape", ()) != shape:
         return False
-    if damping is not None and getattr(damping, "shape", ()) != field.shape:
-        return False
-    X, Y, Z = field.shape
+    X, Y, Z = shape
     if Z > 128:
         return False  # unrolled sweeps; deeper columns take the scan path
     for dz in (dz_c, dz_f):
         s = getattr(dz, "shape", ())
         if len(s) != 3 or s[0] != 1 or s[1] != 1 or s[2] != Z:
             return False
-    if _pick(X, 512, 128) is None or _pick(Y, 32, 8) is None:
+    if _pick(X, 256, 128) is None or _pick(Y, 8, 8) is None:
         return False
     return True
 
@@ -80,10 +87,16 @@ def pallas_implicit_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None,
     to full-shape ``kappa_face`` (and optional full-shape ``damping``):
     solves (1 + dt*damping + lam_k + mu_k) x_k - lam_k x_{k-1} - mu_k x_{k+1}
     = field_k with zero-flux floor (lam_0 = 0) and surface (mu_{Nz-1} = 0).
+
+    ``field`` may be a tuple of same-shape arrays sharing kappa/damping —
+    they solve against one shared forward elimination; a tuple is returned.
     """
     interpret = interpret or bool(int(os.environ.get("GB25_ZSLAB_INTERPRET", "0")))
-    X, Y, Z = field.shape
-    dtype = field.dtype
+    single = not isinstance(field, (tuple, list))
+    fields = (field,) if single else tuple(field)
+    nf = len(fields)
+    X, Y, Z = fields[0].shape
+    dtype = fields[0].dtype
     # modest tiles: the unrolled sweeps keep several live planes per level,
     # and (Z, by, bx) blocks count against Mosaic's scoped-vmem stack
     # (Z=64, by=32, bx=512 blew the 16M scoped limit on v5e)
@@ -108,45 +121,51 @@ def pallas_implicit_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None,
         return jnp.transpose(a, (2, 1, 0))
 
     has_damp = damping is not None
-    operands = [t2(field), t2(kappa_face)]
+    operands = [t2(f) for f in fields] + [t2(kappa_face)]
     if has_damp:
         operands.append(t2(damping))
     n_in = len(operands)
 
     def kernel(dt_ref, cl_ref, cm_ref, *refs):
         ins = refs[:n_in]
-        out = refs[n_in]
-        cp_s, dp_s = refs[n_in + 1 :]
-        f_ref, k_ref = ins[0], ins[1]
+        outs = refs[n_in : n_in + nf]
+        cp_s = refs[n_in + nf]
+        dp_s = refs[n_in + nf + 1 :]
+        k_ref = ins[nf]
         dtv = dt_ref[0, 0]
 
         zeros = jnp.zeros((by, bx), dtype)
-        cp_prev, dp_prev = zeros, zeros
+        cp_prev = zeros
+        dp_prev = [zeros] * nf
         for k in range(Z):
             lam = k_ref[k] * (dtv * cl_ref[0, k])
             mu = (k_ref[k + 1] * (dtv * cm_ref[0, k])) if k + 1 < Z else zeros
             b = 1.0 + lam + mu
             if has_damp:
-                b = b + dtv * ins[2][k]
+                b = b + dtv * ins[nf + 1][k]
             # a_k = -lam; denom = b - a*cp_prev
             inv = 1.0 / (b + lam * cp_prev)
             cp = -mu * inv
-            dp = (f_ref[k] + lam * dp_prev) * inv
             cp_s[k] = cp
-            dp_s[k] = dp
-            cp_prev, dp_prev = cp, dp
+            cp_prev = cp
+            for n in range(nf):
+                dp = (ins[n][k] + lam * dp_prev[n]) * inv
+                dp_s[n][k] = dp
+                dp_prev[n] = dp
 
-        x_next = zeros
+        x_next = [zeros] * nf
         for k in range(Z - 1, -1, -1):
-            x = dp_s[k] - cp_s[k] * x_next
-            out[k] = x
-            x_next = x
+            cp = cp_s[k]
+            for n in range(nf):
+                x = dp_s[n][k] - cp * x_next[n]
+                outs[n][k] = x
+                x_next[n] = x
 
     def spec():
         return pl.BlockSpec((Z, by, bx), lambda i, j: (0, j, i),
                             memory_space=pltpu.VMEM)
 
-    vma = getattr(jax.typeof(field), "vma", None)
+    vma = getattr(jax.typeof(fields[0]), "vma", None)
     if vma:
         operands = [
             jax.lax.pvary(a, tuple(set(vma) - getattr(jax.typeof(a), "vma", set())))
@@ -162,22 +181,23 @@ def pallas_implicit_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None,
             return jax.ShapeDtypeStruct((Z, Y, X), dtype, vma=vma)
         return jax.ShapeDtypeStruct((Z, Y, X), dtype)
 
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(X // bx, Y // by),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
         + [spec() for _ in operands],
-        out_specs=spec(),
-        out_shape=sds(),
-        scratch_shapes=[pltpu.VMEM((Z, by, bx), dtype)] * 2,
+        out_specs=[spec()] * nf,
+        out_shape=[sds() for _ in range(nf)],
+        scratch_shapes=[pltpu.VMEM((Z, by, bx), dtype)] * (1 + nf),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=(10 + 2 * int(has_damp)) * X * Y * Z,
-            bytes_accessed=(n_in + 1) * X * Y * Z * 4,
+            flops=(6 + 4 * nf + 2 * int(has_damp)) * X * Y * Z,
+            bytes_accessed=(n_in + nf) * X * Y * Z * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(dt_t, c_lam, c_mu, *operands)
-    return jnp.transpose(out, (2, 1, 0))
+    res = tuple(jnp.transpose(o, (2, 1, 0)) for o in outs)
+    return res[0] if single else res

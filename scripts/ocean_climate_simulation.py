@@ -76,18 +76,26 @@ def main():
     from gb25_tpu.models.coupled import compute_interface_fluxes
     from gb25_tpu.models.hydrostatic import time_step
 
-    def step_fn(cfg_unused, grid_, s, dt, n):
+    # atmos/restoring ride as jit ARGUMENTS: closing over them would bake
+    # the (possibly pre-regridded, ocean-sized) records into the IR as
+    # constants — hundreds of MB at the flagship grid
+    def climate_loop(ccfg_, grid_, atmos_, restoring_, s, dt, n):
         def body(_, ss):
-            fluxes, _diag = compute_interface_fluxes(ccfg, grid_, atmos, ss)
-            return time_step(ccfg.ocean, grid_, ss, dt, surface_fluxes=fluxes,
-                             restoring=restoring)
+            fluxes, _diag = compute_interface_fluxes(ccfg_, grid_, atmos_, ss)
+            return time_step(ccfg_.ocean, grid_, ss, dt, surface_fluxes=fluxes,
+                             restoring=restoring_)
 
         return jax.lax.fori_loop(0, n, body, s)
+
+    _jloop = jax.jit(climate_loop, static_argnames="n")
+
+    def step_fn(cfg_unused, grid_, s, dt, n):
+        return _jloop(ccfg, grid_, atmos, restoring, s, dt, n)
 
     sim = Simulation(
         ocean_cfg, grid, state, dt=args.dt,
         stop_time=args.stop_days * 86400.0, inner_steps=10,
-        step_fn=jax.jit(step_fn, static_argnames="n"),
+        step_fn=step_fn,
     )
     sim.add_callback(progress_callback, IterationInterval(10))
     sim.add_output_writer(NPZOutputWriter(args.output_dir, interval_seconds=3 * 86400.0))

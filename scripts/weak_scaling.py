@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def run_once(n, tile, Nz, steps, dtype_name, overlap=True):
+    # tile: int (square) or (tx, ty) per-device extents
     import dataclasses
 
     import jax
@@ -23,7 +24,8 @@ def run_once(n, tile, Nz, steps, dtype_name, overlap=True):
 
     dtype = jnp.dtype(dtype_name)
     rx, ry = factors(n)
-    Nx, Ny = tile * rx, tile * ry
+    tx, ty = tile if isinstance(tile, tuple) else (tile, tile)
+    Nx, Ny = tx * rx, ty * ry
     grid = simple_latitude_longitude_grid(Nx, Ny, Nz, dtype=dtype)
     cfg = dataclasses.replace(baroclinic_instability_config(), overlap_split=overlap)
     state = shard_state(baroclinic_instability_state(grid), make_mesh(n, shape=(rx, ry)))
@@ -54,7 +56,9 @@ def run_once(n, tile, Nz, steps, dtype_name, overlap=True):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--tile", type=int, default=64)
+    p.add_argument("--tile", default="64",
+                   help="per-device tile: N or NXxNY (e.g. 768x384 = the "
+                        "flagship per-device tile on a 2x2 slice)")
     p.add_argument("--Nz", type=int, default=8)
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--dtype", default="float32")
@@ -66,8 +70,17 @@ def main():
                         "the optimize_communications ablation, sharded_..._run.jl:109-112)")
     p.add_argument("--project-chips", default="8,16,32,64,128,256",
                    help="chip counts for the ICI weak-scaling projection")
+    p.add_argument("--compute-ms", type=float, default=None,
+                   help="measured single-chip kernel-path ms/step for the "
+                        "projection's compute term (from bench.py on real "
+                        "TPU hardware).  Without it the projection falls "
+                        "back to this sweep's own ms/step — meaningless on "
+                        "virtual CPU devices.")
     args = p.parse_args()
     counts = [int(c) for c in args.counts.split(",")]
+    tile = (tuple(int(v) for v in args.tile.split("x"))
+            if "x" in args.tile else int(args.tile))
+    args.tile = tile
 
     if args.virtual_cpu:
         from gb25_tpu.utils.profiling import force_virtual_cpu_devices
@@ -98,18 +111,28 @@ def main():
                       trip_count=None, per_op=[])
     chips = [int(c) for c in args.project_chips.split(",")]
     projection = {}
-    print("\nICI weak-scaling projection (per-device tile fixed):")
+    compute_ms = args.compute_ms if args.compute_ms else last["ms_per_step"]
+    compute_src = ("measured kernel-path (--compute-ms)" if args.compute_ms
+                   else "this sweep (virtual-CPU noise; pass --compute-ms)")
+    print(f"\nICI weak-scaling projection (per-device tile fixed; "
+          f"compute term {compute_ms:.2f} ms from {compute_src}):")
     print(f"{'chips':>6} {'overlap eff':>12} {'ablated eff':>12} {'comm ms/step':>13}")
     for ovl in (True, False):
         projection["overlap" if ovl else "ablated"] = project_weak_scaling(
-            last["ms_per_step"], stats, chip_counts=chips, overlap=ovl)
+            compute_ms, stats, chip_counts=chips, overlap=ovl)
     for n in chips:
         po = projection["overlap"][n]
         pa = projection["ablated"][n]
         print(f"{n:>6} {po['efficiency']:>12.3f} {pa['efficiency']:>12.3f} "
               f"{po['comm_ms']:>13.3f}")
 
-    out = {"runs": results, "projection": projection}
+    out = {"runs": results, "projection": projection,
+           "projection_compute_ms": compute_ms,
+           "projection_compute_source": compute_src,
+           "ici_constants": "analysis/comm.py defaults (uncalibrated: this "
+                            "env has one real chip; see "
+                            "scripts/probes/measure_ici.py for the "
+                            "calibration recipe + documented error bar)"}
     with open("weak_scaling_results.json", "w") as f:
         json.dump(out, f, indent=1)
     print("wrote weak_scaling_results.json")

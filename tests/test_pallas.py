@@ -83,3 +83,12 @@ def test_pallas_tridiag_matches_scan(monkeypatch):
     # scalar / broadcast kappa falls back to the scan path
     assert not tridiag_supported(f, 1e-3, dzc, dzf)
     assert not tridiag_supported(f, jnp.ones((1, 1, Z)), dzc, dzf)
+
+    # multi-field shared-kappa solve == per-field solves
+    f2 = jnp.asarray(rng.standard_normal((X, Y, Z)), jnp.float32)
+    assert tridiag_supported((f, f2), kap, dzc, dzf)
+    s1, s2 = pallas_implicit_diffusion((f, f2), kap, dt, dzc, dzf)
+    r1 = pallas_implicit_diffusion(f, kap, dt, dzc, dzf)
+    r2 = pallas_implicit_diffusion(f2, kap, dt, dzc, dzf)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(r1), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(r2), rtol=1e-6, atol=1e-7)
