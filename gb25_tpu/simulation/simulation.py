@@ -31,17 +31,42 @@ logger = logging.getLogger("gb25_tpu")
 class IterationInterval:
     every: int
 
-    def aligned_steps(self, iteration: int, max_steps: int) -> int:
-        k = self.every - (iteration % self.every)
+    def aligned_steps(self, sim, max_steps: int) -> int:
+        k = self.every - (sim.iteration % self.every)
         return min(k, max_steps)
+
+    def should_fire(self, sim) -> bool:
+        return sim.iteration % self.every == 0
 
 
 @dataclasses.dataclass
 class TimeInterval:
+    """Exact time-based schedule: the driver shrinks chunks so model time
+    lands ON each actuation boundary (multiples of ``seconds``), matching
+    Oceananigans' TimeInterval alignment the reference relies on
+    (/root/reference/simulations/ocean_climate_simulation.jl:90-134)."""
+
     seconds: float
 
-    def aligned_steps(self, iteration: int, max_steps: int) -> int:  # pragma: no cover
-        return max_steps  # approximate: fires after each chunk
+    def __post_init__(self):
+        self._next = None
+
+    def _init(self, time: float):
+        if self._next is None:
+            self._next = (np.floor(time / self.seconds + 1e-12) + 1) * self.seconds
+
+    def aligned_steps(self, sim, max_steps: int) -> int:
+        self._init(sim.time)
+        k = int(np.ceil((self._next - sim.time) / sim.dt - 1e-9))
+        return min(max(k, 1), max_steps)
+
+    def should_fire(self, sim) -> bool:
+        self._init(sim.time)
+        if sim.time >= self._next - 1e-6:
+            while self._next <= sim.time + 1e-6:
+                self._next += self.seconds
+            return True
+        return False
 
 
 @dataclasses.dataclass
@@ -65,6 +90,7 @@ class Simulation:
         self.inner_steps = inner_steps
         self.callbacks: list[Callback] = []
         self.output_writers: list = []
+        self._writer_schedules: list[TimeInterval] = []
         self._step_fn = step_fn or jax.jit(_loop, static_argnames="n")
         self._comm = comm
         self.run_wall_time = 0.0
@@ -75,6 +101,11 @@ class Simulation:
 
     def add_output_writer(self, writer):
         self.output_writers.append(writer)
+        # align chunk boundaries to the writer's time interval so writes land
+        # exactly on multiples of it (reference: TimeInterval output schedule)
+        iv = getattr(writer, "interval", None)
+        if iv:
+            self._writer_schedules.append(TimeInterval(iv))
 
     @property
     def iteration(self) -> int:
@@ -90,9 +121,8 @@ class Simulation:
             n = min(n, self.stop_iteration - self.iteration)
         if self.stop_time is not None:
             n = min(n, int(np.ceil((self.stop_time - self.time) / self.dt - 1e-9)))
-        for cb in self.callbacks:
-            if isinstance(cb.schedule, IterationInterval):
-                n = min(n, cb.schedule.aligned_steps(self.iteration, n))
+        for sched in [cb.schedule for cb in self.callbacks] + self._writer_schedules:
+            n = min(n, sched.aligned_steps(self, n))
         return max(n, 0)
 
     def _should_stop(self) -> bool:
@@ -116,11 +146,10 @@ class Simulation:
             self.state = self._step_fn(self.cfg, self.grid, self.state, self.dt, n)
             jax.block_until_ready(self.state)
             for cb in self.callbacks:
-                if isinstance(cb.schedule, IterationInterval):
-                    if self.iteration % cb.schedule.every == 0:
-                        cb.fn(self)
-                else:
+                if cb.schedule.should_fire(self):
                     cb.fn(self)
+            for sched in self._writer_schedules:
+                sched.should_fire(self)  # keep boundary tracking advancing
             for w in self.output_writers:
                 w.maybe_write(self)
         self.run_wall_time = _time.perf_counter() - t0

@@ -12,7 +12,7 @@ from gb25_tpu.models import (
     baroclinic_instability_config,
     baroclinic_instability_state,
 )
-from gb25_tpu.simulation import Simulation, IterationInterval
+from gb25_tpu.simulation import Simulation, IterationInterval, TimeInterval
 from gb25_tpu.io import save_sharded_state, load_global_field, load_metadata, restore_state
 from gb25_tpu.utils import compare_states, sync_states
 
@@ -42,6 +42,43 @@ def test_simulation_stop_time(setup):
     sim.run()
     assert sim.iteration == 5
     assert abs(sim.time - 300.0) < 1e-9
+
+
+def test_time_interval_exact_alignment(setup):
+    """TimeInterval callbacks fire exactly ON multiples of the interval:
+    the driver shrinks chunks to land on schedule boundaries (reference
+    aligns its schedules the same way,
+    ocean_climate_simulation.jl:90-134) — not merely 'after each chunk'."""
+    cfg, grid, state = setup
+    # dt=60, interval=300 (5 steps), inner_steps=7: 7 does NOT divide 5,
+    # so without alignment the fire times would drift off the boundary
+    sim = Simulation(cfg, grid, state, dt=60.0, stop_time=1500.0, inner_steps=7)
+    fired = []
+    sim.add_callback(lambda s: fired.append(s.time), TimeInterval(300.0))
+    sim.run()
+    assert fired == [300.0, 600.0, 900.0, 1200.0, 1500.0]
+
+
+def test_time_interval_writer_alignment(setup, tmp_path):
+    """Output-writer intervals also align chunk boundaries: writes land on
+    exact multiples of interval_seconds."""
+    from gb25_tpu.io.output import NPZOutputWriter
+
+    cfg, grid, state = setup
+    sim = Simulation(cfg, grid, state, dt=60.0, stop_time=720.0, inner_steps=5)
+    w = NPZOutputWriter(str(tmp_path / "out"), interval_seconds=240.0)
+    sim.add_output_writer(w)
+    sim.run()
+    import glob
+    import numpy as np_
+
+    files = sorted(glob.glob(str(tmp_path / "out" / "*.npz")))
+    times = [float(np_.load(f)["time"]) for f in files]
+    # first write fires at t=0 (writer semantics: no previous write), then
+    # every 240 s exactly
+    assert times[0] == 0.0 or times[0] == 240.0
+    for t in times:
+        assert abs(t % 240.0) < 1e-6 or abs(t % 240.0 - 240.0) < 1e-6
 
 
 def test_checkpoint_roundtrip_single_device(setup, tmp_path):
