@@ -377,17 +377,23 @@ def fold_ghosts_north(a, h: int, kind: str, p: int):
     centers (T, w, eta): ghost(:, P+m) =  T(fold_c, P-m)
     u (x-faces):         ghost(:, P+m) = -u(fold_u, P-m)
     v (y-faces):         ghost(:, P+m) = -v(fold_c, P-m+1)   [face algebra]
+
+    The x-fold runs on the *thin* h-row slab only (slicing commutes with the
+    x flip/roll) — folding the full array first costs two full-array HBM
+    passes per field per step, ~14 wasted passes on the 7-field climate step.
     """
     Ny = a.shape[1]
     sign = -1.0 if kind in ("u", "v") else 1.0
     face = kind == "u"
-    folded = _fold_x(a, p, face)
     if kind == "v":
-        # v face j >= Ny maps to face 2(Ny-1)+1-j = 2Ny-1-j
-        rows = [folded[:, 2 * Ny - 1 - j] for j in range(Ny, Ny + h)]
+        # v ghost face j in [Ny, Ny+h) maps to source face 2Ny-1-j:
+        # descending rows Ny-1 .. Ny-h
+        thin = a[:, Ny - h : Ny]
     else:
-        rows = [folded[:, 2 * (Ny - 1) - j] for j in range(Ny, Ny + h)]
-    return sign * jnp.stack(rows, axis=1)
+        # centers/u ghost j maps to 2(Ny-1)-j: descending rows Ny-2 .. Ny-1-h
+        thin = a[:, Ny - 1 - h : Ny - 1]
+    thin = jnp.flip(thin, axis=1)  # ghost row order j = Ny, Ny+1, ...
+    return sign * _fold_x(thin, p, face)
 
 
 def extend_field_tripolar(grid, a, kind: str, hx: int, hy: int):
@@ -396,13 +402,19 @@ def extend_field_tripolar(grid, a, kind: str, hx: int, hy: int):
     from gb25_tpu.ops.halos import FIELD_BCS, ghost_blocks
 
     north = fold_ghosts_north(a, hy, kind, grid.pole_index)
-    a = jnp.concatenate([a, north], axis=1)
+    # ONE pad materialization + thin ghost-slab writes (mirrors
+    # _extend_3d_fast) instead of three concat chains
+    Nx, Ny = a.shape[0], a.shape[1]
+    pad = ((hx, hx), (hy, hy)) + ((0, 0),) * (a.ndim - 2)
+    e = jnp.pad(a, pad)
+    e = e.at[hx : hx + Nx, hy + Ny :].set(north)
     # south boundary (wall, like lat-lon)
     lo, _ = ghost_blocks(a, hy, 1, FIELD_BCS[kind][1][0], "zerograd")
-    a = jnp.concatenate([lo, a], axis=1)
+    e = e.at[hx : hx + Nx, :hy].set(lo)
     # x periodic wrap (after the fold so corner halos are consistent)
-    a = jnp.concatenate([a[-hx:], a, a[:hx]], axis=0)
-    return a
+    e = e.at[:hx].set(e[Nx : hx + Nx])
+    e = e.at[hx + Nx :].set(e[hx : 2 * hx])
+    return e
 
 
 def north_fold_projection(grid, u, v, eta, tracers):
@@ -411,13 +423,16 @@ def north_fold_projection(grid, u, v, eta, tracers):
     p = grid.pole_index
     P = grid.Ny - 1
 
+    # fold the seam ROW only (one (Nx, Nz) slab), not the full array: the
+    # x-fold commutes with the row slice, and folding first costs two
+    # full-array passes per field
     def sym_center(c):
-        m = _fold_x(c, p, face=False)
-        return c.at[:, P].set(0.5 * (c[:, P] + m[:, P]))
+        row = c[:, P]
+        return c.at[:, P].set(0.5 * (row + _fold_x(row, p, face=False)))
 
     def asym_u(uu):
-        m = _fold_x(uu, p, face=True)
-        return uu.at[:, P].set(0.5 * (uu[:, P] - m[:, P]))
+        row = uu[:, P]
+        return uu.at[:, P].set(0.5 * (row - _fold_x(row, p, face=True)))
 
     u = asym_u(u)
     eta = sym_center(eta)

@@ -101,9 +101,11 @@ def north_fold_projection_dist(comm, grid, u, v, eta, tracers):
         strip_c, strip_u = fold_exchange_strips(comm, field, 0)
         mirror = (strip_u if kind == "u" else strip_c)[:, 0, ...]
         s = -1.0 if kind == "u" else 1.0
-        newrow = 0.5 * (field[:, P, ...] + s * mirror)
-        updated = field.at[:, P, ...].set(newrow)
-        return jnp.where(is_top, updated, field)
+        old = field[:, P, ...]
+        newrow = 0.5 * (old + s * mirror)
+        # select on the thin ROW, not the full array: a full-array where
+        # costs two reads + a write per field on every step
+        return field.at[:, P, ...].set(jnp.where(is_top, newrow, old))
 
     u = project(u, "u")
     eta = project(eta, "c")
