@@ -138,6 +138,58 @@ def _lonlat(variables):
     return np.asarray(variables[lon]).ravel(), np.asarray(variables[lat]).ravel()
 
 
+def _canonicalize_lonlat(lon, lat, *fields):
+    """Normalize coordinates to the framework convention: lon ascending in
+    [0, 360), lat ascending — permuting each field's leading (lon, lat) axes
+    to match.
+
+    Real products violate the convention in both ways: ETOPO1/ERA5 store
+    longitudes in [-180, 180) (a plain ``% 360`` leaves the axis
+    non-monotonic, which silently breaks the interpolation weights in
+    datasets._bilinear_weights), and ERA5/JRA55-do variants store latitude
+    descending 90 -> -90 (a silent north/south flip). Reference consumes the
+    same files via ClimaOcean's readers
+    (/root/reference/simulations/ocean_climate_simulation.jl:61-83).
+    """
+    lon = np.asarray(lon, dtype=np.float64) % 360.0
+    roll = int(np.argmin(lon))  # first index of the ascending cycle
+    lon = np.roll(lon, -roll)
+    if np.any(np.diff(lon) <= 0):
+        raise ValueError("longitude axis is not a single ascending cycle")
+    flip = len(lat) > 1 and lat[1] < lat[0]
+    lat = np.asarray(lat, dtype=np.float64)[::-1] if flip else np.asarray(lat, dtype=np.float64)
+    out = []
+    for f in fields:
+        f = np.roll(f, -roll, axis=0)
+        if flip:
+            f = f[:, ::-1]
+        out.append(f)
+    return (lon, lat, *out)
+
+
+def parse_time_units(times, units, calendar=None):
+    """CF time axis -> seconds since the file's own epoch (relative).
+
+    Handles "seconds|hours|days since YYYY-MM-DD[ hh:mm:ss]" (the JRA55-do
+    and ERA5 conventions). The absolute epoch is irrelevant to the cyclic
+    forcing interpolation (PrescribedAtmosphere wraps by period), so only
+    the unit scale is applied; 360_day/noleap calendars differ only in the
+    epoch mapping and need no special casing here.
+    """
+    times = np.asarray(times, dtype=np.float64).ravel()
+    if not units:
+        return times
+    unit = str(units).split("since")[0].strip().lower()
+    scale = {"second": 1.0, "seconds": 1.0, "sec": 1.0, "s": 1.0,
+             "minute": 60.0, "minutes": 60.0, "min": 60.0,
+             "hour": 3600.0, "hours": 3600.0, "h": 3600.0,
+             "day": 86400.0, "days": 86400.0, "d": 86400.0}.get(unit)
+    if scale is None:
+        return times
+    t = times * scale
+    return t - t[0]
+
+
 def _to_lonlat_leading(a, nlon, nlat):
     """Reorder a gridded array so (lon, lat) are the leading axes."""
     ax_lon = [i for i, s in enumerate(a.shape) if s == nlon]
@@ -159,7 +211,7 @@ def load_bathymetry_nc(path):
         raise ValueError(f"no elevation variable found among {list(variables)}")
     z = _to_lonlat_leading(np.asarray(variables[zname]), len(lon), len(lat))
     z = np.nan_to_num(z, nan=0.0)
-    return lon % 360.0, lat, z
+    return _canonicalize_lonlat(lon, lat, z)
 
 
 def load_climatology_nc(path, salinity_path=None):
@@ -185,27 +237,39 @@ def load_climatology_nc(path, salinity_path=None):
         a = _to_lonlat_leading(a, len(lon), len(lat))
         return np.nan_to_num(a, nan=0.0)
 
-    return {"lon": lon % 360.0, "lat": lat, "z_levels": z_levels,
-            "T": prep(variables[Tn]), "S": prep(variables[Sn])}
+    lon_c, lat_c, T, S = _canonicalize_lonlat(lon, lat, prep(variables[Tn]), prep(variables[Sn]))
+    return {"lon": lon_c, "lat": lat_c, "z_levels": z_levels, "T": T, "S": S}
 
 
 def load_atmosphere_nc(path):
-    """JRA55-style file -> dict(lon, lat, times, Ta/ua/va/qa/Qsw/Qlw/pa)."""
-    variables, _, _ = read_netcdf(path)
+    """JRA55-style file -> dict(lon, lat, times, Ta/ua/va/qa/Qsw/Qlw/pa).
+
+    Times are converted from the file's CF units ("hours since ...") to
+    seconds relative to the first record; lon/lat canonicalized ascending.
+    """
+    variables, _, attrs = read_netcdf(path)
     lon, lat = _lonlat(variables)
     tname = find_var(variables, TIME_NAMES)
     times = np.asarray(variables[tname]).ravel() if tname else np.array([0.0])
-    out = {"lon": lon % 360.0, "lat": lat, "times": times}
+    if tname is not None:
+        ta = attrs.get(tname, {})
+        times = parse_time_units(times, ta.get("units"), ta.get("calendar"))
+    out = {"times": times}
     defaults = {"Ta": 288.15, "ua": 0.0, "va": 0.0, "qa": 0.0,
                 "Qsw": 200.0, "Qlw": 350.0, "pa": 101325.0}
+    fields = {}
     for name, cands in ATMOS_VARS.items():
         v = find_var(variables, cands)
         if v is None:
-            out[name] = np.full((len(lon), len(lat), len(times)), defaults[name])
+            fields[name] = np.full((len(lon), len(lat), len(times)), defaults[name])
             continue
         a = np.asarray(variables[v])
         a = _to_lonlat_leading(a, len(lon), len(lat))
         if a.ndim == 2:
             a = np.repeat(a[:, :, None], len(times), axis=2)
-        out[name] = np.nan_to_num(a, nan=defaults[name])
+        fields[name] = np.nan_to_num(a, nan=defaults[name])
+    names = list(fields)
+    lon_c, lat_c, *canon = _canonicalize_lonlat(lon, lat, *(fields[n] for n in names))
+    out["lon"], out["lat"] = lon_c, lat_c
+    out.update(zip(names, canon))
     return out

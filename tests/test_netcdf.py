@@ -152,3 +152,99 @@ def test_climate_script_runs_with_nc_inputs(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "done:" in r.stdout
+
+
+def _write_era5_style_nc3(path, Na=24, Ma=12, Nt=3):
+    """Byte-faithful ERA5-download quirks in one file: int16 packing with
+    scale AND offset AND _FillValue, longitude in [-180, 180), latitude
+    DESCENDING 90 -> -90, time as "hours since 1900-01-01"."""
+    from scipy.io import netcdf_file
+
+    lon = -180.0 + (np.arange(Na) + 0.5) * (360.0 / Na)          # [-180, 180)
+    lat = (90.0 - (np.arange(Ma) + 0.5) * (180.0 / Ma))          # descending
+    hours = 1_000_000.0 + np.arange(Nt) * 3.0                     # 3-hourly
+    # ground truth on the canonical (ascending, [0,360)) axes
+    lon_c = np.sort(lon % 360.0)
+    lat_c = lat[::-1]
+    truth = (273.15 + 20 * np.cos(np.deg2rad(lat_c))[None, :]
+             + 5.0 * np.sin(np.deg2rad(lon_c))[:, None])          # (lon, lat)
+    # encode on the FILE's axes (time, lat desc, lon [-180,180))
+    remap = np.argsort(lon % 360.0)                               # canon->file? inverse:
+    inv = np.empty_like(remap); inv[remap] = np.arange(Na)
+    enc = truth[inv][:, ::-1]                                     # file-axis (lon, lat)
+    scale, offset, fill = 0.01, 250.0, np.int16(-32767)
+    packed = np.round((enc - offset) / scale).astype(np.int16)
+    packed[0, 0] = fill                                           # one missing cell
+    with netcdf_file(path, "w") as nc:
+        nc.createDimension("longitude", Na)
+        nc.createDimension("latitude", Ma)
+        nc.createDimension("time", Nt)
+        nc.createVariable("longitude", "d", ("longitude",))[:] = lon
+        nc.createVariable("latitude", "d", ("latitude",))[:] = lat
+        vt = nc.createVariable("time", "d", ("time",))
+        vt[:] = hours
+        vt._attributes["units"] = "hours since 1900-01-01 00:00:0.0"
+        vt._attributes["calendar"] = "gregorian"
+        v = nc.createVariable("t2m", "h", ("time", "latitude", "longitude"))
+        v[:] = np.broadcast_to(packed.T[None], (Nt, Ma, Na))
+        v._attributes["scale_factor"] = scale
+        v._attributes["add_offset"] = offset
+        v._attributes["_FillValue"] = fill
+    return lon_c, lat_c, truth
+
+
+def test_era5_quirks_canonicalized(tmp_path):
+    """Descending lat + [-180,180) lon + packed shorts w/ offset + fill +
+    CF hour units all land on the canonical axes with correct values."""
+    p = str(tmp_path / "era5.nc")
+    lon_c, lat_c, truth = _write_era5_style_nc3(p)
+    d = load_atmosphere_nc(p)
+    np.testing.assert_allclose(d["lon"], lon_c)
+    np.testing.assert_allclose(d["lat"], lat_c)          # flipped ascending
+    assert np.all(np.diff(d["lon"]) > 0)
+    # CF time: hours -> seconds, relative to first record
+    np.testing.assert_allclose(d["times"], [0.0, 10800.0, 21600.0])
+    got = d["Ta"][:, :, 0]
+    # the fill cell was replaced by the finite default, not the fill value
+    mask = np.ones_like(got, bool)
+    bad = np.argwhere(np.abs(got - truth) > 0.01)
+    assert len(bad) <= 1                                  # only the fill cell
+    for i, j in bad:
+        mask[i, j] = False
+        assert got[i, j] == 288.15                        # Ta default
+    np.testing.assert_allclose(got[mask], truth[mask], atol=0.01)
+
+
+def test_etopo_lon180_bathymetry_regrid(tmp_path):
+    """ETOPO variant published on [-180,180): regrid must see an ascending
+    axis (non-monotonic lon silently corrupts bilinear weights)."""
+    from gb25_tpu.data import regrid_bathymetry
+    from gb25_tpu.grids import simple_latitude_longitude_grid
+
+    from scipy.io import netcdf_file
+
+    p = str(tmp_path / "etopo180.nc")
+    Na, Ma = 36, 18
+    lon = -180.0 + (np.arange(Na) + 0.5) * (360.0 / Na)
+    lat = -90.0 + (np.arange(Ma) + 0.5) * (180.0 / Ma)
+    # deep everywhere except a seamount at lon ~ +90E (canonical 90.0)
+    z = np.full((Na, Ma), -4000.0)
+    z[np.argmin(np.abs(lon - 90.0)), :] = -100.0
+    with netcdf_file(p, "w") as nc:
+        nc.createDimension("lon", Na)
+        nc.createDimension("lat", Ma)
+        nc.createVariable("lon", "d", ("lon",))[:] = lon
+        nc.createVariable("lat", "d", ("lat",))[:] = lat
+        vz = nc.createVariable("z", "h", ("lat", "lon"))
+        vz[:] = z.T.astype(np.int16)
+    got_lon, got_lat, got_z = load_bathymetry_nc(p)
+    assert np.all(np.diff(got_lon) > 0) and got_lon.min() >= 0.0
+    i90 = np.argmin(np.abs(got_lon - 90.0))
+    assert got_z[i90, 0] == -100.0                       # seamount at 90E
+    grid = simple_latitude_longitude_grid(24, 12, 4, dtype=jnp.float64)
+    g2 = regrid_bathymetry(grid, p)
+    bh = np.asarray(g2.bottom_height)
+    ic = np.argmin(np.abs(np.asarray(grid.lam_c_i) - 90.0))
+    iw = np.argmin(np.abs(np.asarray(grid.lam_c_i) - 270.0))
+    assert bh[ic].max() > -2100.0                        # shallows at 90E...
+    assert bh[iw].max() < -3000.0                        # ...not aliased to 270E
