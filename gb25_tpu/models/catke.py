@@ -78,6 +78,54 @@ class CATKEVerticalDiffusivity:
     S2_min: float = 1e-14     # shear floor in Ri
     kappa_max: float = 10.0   # diffusivity cap [m^2/s]
 
+    @classmethod
+    def from_oceananigans(cls, **upstream):
+        """Construct from Oceananigans' calibrated parameter names.
+
+        The upstream calibrated digits live in Oceananigans.jl
+        (``CATKEMixingLength`` / ``CATKEEquation`` defaults; the reference
+        consumes them via the closure constructor at
+        /root/reference/src/baroclinic_instability_model.jl:29-30) and are
+        unreachable from this offline environment. On a networked machine,
+        paste them verbatim::
+
+            CATKEVerticalDiffusivity.from_oceananigans(
+                Cs=..., Cb=..., Clo_u=..., Chi_u=..., CRi0=..., ...)
+
+        Both the ASCII transliterations below and the exact unicode field
+        names from the Julia source are accepted. Unmapped upstream
+        parameters (sheared-convection Csp, entrainment Ce_c, convective
+        dissipation CcD/CeD) have no analog in this formulation and raise.
+        """
+        table = {
+            "Cˢ": "C_surf", "Cs": "C_surf",
+            "Cᵇ": "C_bot", "Cb": "C_bot",
+            "Cˡᵒu": "C_lo_u", "Clo_u": "C_lo_u",
+            "Cʰⁱu": "C_hi_u", "Chi_u": "C_hi_u",
+            "Cˡᵒc": "C_lo_c", "Clo_c": "C_lo_c",
+            "Cʰⁱc": "C_hi_c", "Chi_c": "C_hi_c",
+            "Cˡᵒe": "C_lo_e", "Clo_e": "C_lo_e",
+            "Cʰⁱe": "C_hi_e", "Chi_e": "C_hi_e",
+            "CRi⁰": "Ri_0", "CRi0": "Ri_0",
+            "CRiᵟ": "Ri_delta", "CRid": "Ri_delta",
+            "Cᶜc": "C_conv_c", "Cc_c": "C_conv_c",
+            "Cᶜu": "C_conv_u", "Cc_u": "C_conv_u",
+            "Cᶜe": "C_conv_e", "Cc_e": "C_conv_e",
+            "CˡᵒD": "C_D_lo", "Clo_D": "C_D_lo",
+            "CʰⁱD": "C_D_hi", "Chi_D": "C_D_hi",
+            "Cᵂu★": "C_w_ustar", "CW_ustar": "C_w_ustar",
+            "minimum_tke": "e_min",
+            "maximum_tracer_diffusivity": "kappa_max",
+        }
+        kwargs = {}
+        for k, v in upstream.items():
+            if k not in table:
+                raise ValueError(
+                    f"upstream CATKE parameter {k!r} has no analog here; "
+                    f"known: {sorted(set(table))}")
+            kwargs[table[k]] = float(v)
+        return cls(**kwargs)
+
     @property
     def tracer_names(self):
         return ("e",)

@@ -189,3 +189,49 @@ class TestMixedLayerScaling:
         z = np.asarray(grid.z_c_i)
         assert e[z > -h / 2].max() > 1e-5
         assert e[z < -1.8 * h].max() < 1e-5
+
+
+def test_from_oceananigans_name_mapping():
+    """Upstream calibrated digits drop in verbatim via the Julia names
+    (ASCII or unicode); unknown parameters fail loudly."""
+    c = CATKEVerticalDiffusivity.from_oceananigans(
+        Cs=1.131, Cb=0.28, CRi0=0.25, Clo_D=1.18)
+    assert c.C_surf == 1.131 and c.C_bot == 0.28
+    assert c.Ri_0 == 0.25 and c.C_D_lo == 1.18
+    c2 = CATKEVerticalDiffusivity.from_oceananigans(**{"Cˢ": 1.131, "CRiᵟ": 0.5})
+    assert c2.C_surf == 1.131 and c2.Ri_delta == 0.5
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no analog"):
+        CATKEVerticalDiffusivity.from_oceananigans(Csp=0.14)
+
+
+def test_column_profile_regression():
+    """Golden-profile guard on the CATKE constants (VERDICT r2 item 10):
+    combined wind (tau=1e-4 m^2/s^2) + cooling (B0=1e-7 m^2/s^3) column,
+    12 h at dt=600 on the N^2=1e-5 stratification. Any change to the
+    closure constants or formulation shifts these digits at ~1e-2; the
+    physics-law tests above bound the *bands*, this pins the *digits*."""
+    import jax
+
+    from gb25_tpu.models.catke import surface_tke_flux
+    from gb25_tpu.models.hydrostatic import time_step
+
+    t = TestMixedLayerScaling()
+    tau, B0 = 1e-4, 1e-7
+    grid, cfg, state, galpha = t._column()
+    sh = (grid.Nx, grid.Ny)
+    Je = surface_tke_flux(CATKEVerticalDiffusivity(), tau, 0.0)
+    fluxes = {"u": jnp.full(sh, tau), "T": jnp.full(sh, -B0 / galpha),
+              "e": jnp.full(sh, Je)}
+    step = jax.jit(lambda s: time_step(cfg, grid, s, 600.0, surface_fluxes=fluxes))
+    s = state
+    for _ in range(72):
+        s = step(s)
+    prof_T = np.asarray(s.tracers["T"])[0, 4, :]
+    prof_e = np.asarray(s.tracers["e"])[0, 4, :]
+    idx = [49, 45, 40, 35, 30, 20, 10]
+    want_T = [14.7871262332, 14.7934685645, 14.7893875891, 14.6604680876,
+              14.5237253616, 14.2794819573, 14.035238553]
+    want_e = [1.644254e-4, 1.251226e-4, 8.555013e-5, 1.08924e-5, 0.0, 0.0, 0.0]
+    np.testing.assert_allclose(prof_T[idx], want_T, atol=5e-7)
+    np.testing.assert_allclose(prof_e[idx], want_e, rtol=5e-4, atol=1e-8)
