@@ -200,13 +200,27 @@ def main():
         extra["config"] = "climate"
 
     if not args.no_bf16_row and args.compute_dtype is None and args.config == "baroclinic":
-        cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
-        st16 = baroclinic_instability_state(grid)
-        e16, st16 = time_loop(lp, cfg16, grid, st16, jnp.asarray(args.dt, dtype),
-                              args.steps, args.warmup, _sync)
-        extra["bf16_ms_per_step"] = round(1e3 * e16 / args.steps, 2)
-        extra["bf16_vs_baseline"] = round(
-            cells * args.steps / e16 / REFERENCE_CELL_STEPS_PER_SEC, 4)
+        # Precision companion rows (VERDICT r2 item 7): one LOWERED precision
+        # with the kernel on (bf16s = bf16-storage windows / f32 arithmetic,
+        # the TPU-idiomatic single-limb MultiFloat lowering), one RAISED
+        # (f32x2 double-single ~emulated f64 — array path only: two-limb
+        # arithmetic has no Pallas lowering, see docs/PRECISION.md), plus the
+        # historical whole-bf16 array row (documented dead end on v5e).
+        def row(tag, compute_dtype, steps):
+            cfgp = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+            stp = baroclinic_instability_state(grid)
+            ep, _ = time_loop(lp, cfgp, grid, stp, jnp.asarray(args.dt, dtype),
+                              steps, args.warmup, _sync)
+            extra[f"{tag}_ms_per_step"] = round(1e3 * ep / steps, 2)
+            extra[f"{tag}_vs_baseline"] = round(
+                cells * steps / ep / REFERENCE_CELL_STEPS_PER_SEC, 4)
+
+        row("bf16", "bfloat16", args.steps)
+        if uses_zslab:  # bf16s exists only as a kernel mode
+            row("bf16s", "bf16s", args.steps)
+        # f32x2 runs ~4x the array-path cost: 32 steps keeps the bench run
+        # bounded; the second-loop methodology is unchanged
+        row("f32x2", "f32x2", min(args.steps, 32))
 
     print(
         json.dumps(

@@ -335,6 +335,20 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             lambda x: wr(x) if jnp.issubdtype(x.dtype, jnp.floating) else x,
             grid,
         )
+    elif cfg.compute_dtype == "bf16s":
+        # bf16-storage / f32-compute (TPU kernel path): tendency INPUTS are
+        # rounded to bf16 — the z-slab kernel streams them as bf16 windows,
+        # halving its dominant HBM input traffic — while all arithmetic
+        # (and metrics/Coriolis) stays f32.  The v5e VPU has no bf16 EUP
+        # ops, so whole-bf16 compute can never enter the kernel; this is
+        # the TPU-idiomatic single-limb precision lowering
+        # (reference: MultiFloatOptions, arg_parsing.jl:99-107).
+        def _rt(x):
+            return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+        ue_c = _rt(ue)
+        ve_c = _rt(ve)
+        tr_c = {k: _rt(v) for k, v in tr_e.items()}
     elif cfg.compute_dtype is not None:
         # precision-lowered tendency computation (MultiFloat analog)
         cdt = jnp.dtype(cfg.compute_dtype)
@@ -360,6 +374,14 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         cfg.kernels == "zslab"
         or (cfg.kernels == "auto" and zslab_supported(cfg, grid, ue_c, comm))
     )
+    if cfg.compute_dtype == "bf16s" and not use_zslab:
+        raise ValueError(
+            "compute_dtype='bf16s' (bf16-storage/f32-compute) is a z-slab "
+            "kernel mode: run on TPU with kernels auto/zslab (or "
+            "GB25_ZSLAB_INTERPRET=1 for CPU testing); for an array-path "
+            "lowering use compute_dtype='bfloat16'"
+        )
+    storage = jnp.bfloat16 if cfg.compute_dtype == "bf16s" else None
     # Comm/compute overlap on the kernel path (VERDICT r2 missing #1): under
     # shard_map, feed the big z-slab kernel the LOCAL-ONLY extension — its
     # HLO has no data dependence on any ppermute, so XLA's latency-hiding
@@ -378,7 +400,26 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     )
     updated = None
     if use_zslab:
-        if overlap_kernel:
+        # Fused transposed extends (one HBM materialization per kernel input
+        # instead of extend + transpose): valid whenever the kernel consumes
+        # the LOCAL-extension semantics — single device, or the overlap
+        # path's local-only extension — on non-folded grids at native dtype.
+        raw_ok = (
+            cfg.compute_dtype in (None, "bf16s")  # bf16s rounds at storage
+            and not getattr(grid, "north_fold", False)
+            and (comm is None or overlap_kernel)
+        )
+        raw = None
+        if raw_ok:
+            if grid.immersed:
+                from gb25_tpu.grids.immersed import immersed_masks as _imasks
+
+                _, um_l, vm_l = _imasks(grid, None)
+            else:
+                um_l = vm_l = None
+            raw = (state.u, state.v, state.tracers, um_l, vm_l)
+            ue_k, ve_k, tr_k = ue_c, ve_c, tr_c  # unused by the kernel (DCE)
+        elif overlap_kernel:
             ue_k = extend_field(grid, state.u, "u", None)
             ve_k = extend_field(grid, state.v, "v", None)
             tr_k = {k: extend_field(grid, c, "c", None) for k, c in state.tracers.items()}
@@ -388,7 +429,9 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                 _, um_l, vm_l = _imasks(grid, None)
                 ue_k = ue_k * um_l
                 ve_k = ve_k * vm_l
-            if cfg.compute_dtype is not None:
+            if cfg.compute_dtype is not None and cfg.compute_dtype != "bf16s":
+                # (bf16s needs no cast here: the kernel itself rounds at
+                # bf16 storage, which is idempotent with the rt() rounding)
                 cdt = jnp.dtype(cfg.compute_dtype)
                 ue_k = ue_k.astype(cdt)
                 ve_k = ve_k.astype(cdt)
@@ -400,7 +443,8 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         # shard_map it runs per-shard on the locally-extended fields, with
         # x windows spanning the full local tile (no wrap fabrication)
         res = zslab_tendencies(
-            cfg, grid_c, f_c, ue_k, ve_k, tr_k, x_wrap=(comm is None), ab2=ab2
+            cfg, grid_c, f_c, ue_k, ve_k, tr_k, x_wrap=(comm is None), ab2=ab2,
+            raw_fields=raw, storage_dtype=storage,
         )
         if ab2 is not None:
             Gu, Gv, Gtr, u_upd, v_upd, tr_upd = res

@@ -165,6 +165,24 @@ def refresh_halos_ext(grid, e, kind: str):
     return e
 
 
+def extend_field_t3(grid, a, kind: str):
+    """Single-device extension directly in the kernel's transposed (Z, Y, X)
+    layout: ONE materialization (XLA fuses the transpose into the pad
+    producer) instead of ``_t3(extend_field(...))``'s two (extend pass +
+    transpose pass) — the z-slab kernel's inputs are the hot path's largest
+    HBM traffic besides the kernel itself.
+
+    Bitwise-equal to ``transpose(extend_field(grid, a, kind, None))``: every
+    BC mode in FIELD_BCS acts within its own axis (wrap copies whole
+    complete pencils; mirror/antimirror/zerograd/zero are per-pencil), so
+    the axis fill order commutes on the corners (tests/test_zslab.py).
+    """
+    (xlo, xhi), (ylo, yhi), (zlo, zhi) = FIELD_BCS[kind]
+    at = jnp.transpose(a, (2, 1, 0))
+    hx, hy, hz = grid.halo
+    return _extend_3d_fast(at, (hz, hy, hx), (zlo, zhi), (ylo, yhi), (xlo, xhi))
+
+
 def extend2(grid, a, kind: str, comm=None, h: int = 1):
     """Extend a 2-D field with an arbitrary (small) halo width ``h`` — used by
     the barotropic substep loop, which only needs width-1 halos per substep."""

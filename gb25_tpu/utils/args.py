@@ -61,7 +61,8 @@ def benchmark_parser(description="gb25_tpu simulation") -> argparse.ArgumentPars
                    help="degrees; Nx=384/res, Ny=192/res (reference policy)")
     p.add_argument("--float-type", default="f32", choices=list(_FLOAT_TYPES))
     p.add_argument("--target-float-type", default=None,
-                   help="optional lowered compute dtype (bf16/f8 experiments)")
+                   help="optional lowered compute dtype (bf16/f8 experiments; "
+                        "'bf16s' = bf16-storage/f32-compute kernel mode)")
     p.add_argument("--limbs", type=int, default=1, choices=[1, 2],
                    help="multi-limb emulated compute precision (reference "
                         "MultiFloatOptions, arg_parsing.jl:99-107): limbs=2 "
@@ -123,6 +124,10 @@ def build_config(args):
         if base not in ("f32", "bf16"):
             raise SystemExit("--limbs 2 supports --target-float-type f32/bf16")
         compute_dtype = {"f32": "f32x2", "bf16": "bf16x2"}[base]
+    elif target == "bf16s":
+        # bf16-storage / f32-compute z-slab kernel mode (halved kernel input
+        # HBM traffic; arithmetic stays f32) — see models/hydrostatic.py
+        compute_dtype = "bf16s"
     elif target is not None:
         compute_dtype = str(jnp.dtype(target_float_type(target)))
     import dataclasses

@@ -132,7 +132,20 @@ def main():
            "ici_constants": "analysis/comm.py defaults (uncalibrated: this "
                             "env has one real chip; see "
                             "scripts/probes/measure_ici.py for the "
-                            "calibration recipe + documented error bar)"}
+                            "calibration recipe + documented error bar)",
+           "ici_error_bar": "bytes term from the v5e datasheet (4 links x "
+                            "45 GB/s one-way), within ~2x under contention; "
+                            "latency term only matters below ~64 KB/exchange "
+                            "vs ~1.5 MB/step/device at the flagship tile, so "
+                            "the projection is bandwidth-model-driven where "
+                            "it matters (measure_ici.py docstring)",
+           "virtual_cpu_timing_is_nonsignal": args.virtual_cpu,
+           "note": ("virtual-CPU sweep rows validate the comm pattern "
+                    "(permutes/bytes per step) only: all N virtual devices "
+                    "share one host's cores, so per-device throughput "
+                    "inherently divides by N — use the projection table, "
+                    "whose compute term is the real-chip measurement"
+                    if args.virtual_cpu else "real-device sweep")}
     with open("weak_scaling_results.json", "w") as f:
         json.dump(out, f, indent=1)
     print("wrote weak_scaling_results.json")

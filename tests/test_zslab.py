@@ -318,3 +318,136 @@ def test_zslab_fused_ab2_climate_increments(monkeypatch):
             np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-6)
         else:
             np.testing.assert_array_equal(b, a)
+
+
+def test_zslab_raw_fields_bitwise_and_t3_extend():
+    """The fused transposed-extension input mode (raw_fields) is bitwise-
+    identical to feeding pre-extended fields, and extend_field_t3 is
+    bitwise transpose(extend_field) for every field kind (corner fill
+    order commutes — see halos.extend_field_t3)."""
+    import jax
+
+    from gb25_tpu.models.baroclinic import baroclinic_instability_model
+    from gb25_tpu.ops.halos import extend_field_t3
+
+    cfg, grid, state = baroclinic_instability_model(Nx=32, Ny=16, Nz=8, dtype=jnp.float32)
+    for kind, a in (("u", state.u), ("v", state.v), ("c", state.tracers["T"])):
+        want = jnp.transpose(extend_field(grid, a, kind, None), (2, 1, 0))
+        got = extend_field_t3(grid, a, kind)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
+    ue = extend_field(grid, state.u, "u", None)
+    ve = extend_field(grid, state.v, "v", None)
+    tr_e = {k: extend_field(grid, c, "c", None) for k, c in state.tracers.items()}
+    r1 = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True)
+    r2 = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True,
+                          raw_fields=(state.u, state.v, state.tracers, None, None))
+    for a, b in zip(jax.tree_util.tree_leaves(r1), jax.tree_util.tree_leaves(r2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zslab_raw_fields_immersed_bitwise():
+    """raw_fields with immersed masks matches the masked pre-extended path."""
+    import jax
+
+    from gb25_tpu.grids.immersed import immersed_masks, interior_masks, with_bathymetry
+    from gb25_tpu.models.baroclinic import baroclinic_instability_model
+
+    cfg, grid0, state = baroclinic_instability_model(Nx=32, Ny=16, Nz=8, dtype=jnp.float32)
+    lam = np.asarray(grid0.lam_c_i)[:, None]
+    phi = np.asarray(grid0.phi_c_i)[None, :]
+    bh = -4000.0 + 3900.0 * np.exp(-((lam - 180) ** 2 / 900 + phi**2 / 300))
+    grid = with_bathymetry(grid0, jnp.asarray(bh, jnp.float32))
+    um, vm = interior_masks(grid, None)
+    state = state.replace(u=state.u * um, v=state.v * vm)
+
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
+    _, um_e, vm_e = immersed_masks(grid, None)
+    ue = extend_field(grid, state.u, "u", None) * um_e
+    ve = extend_field(grid, state.v, "v", None) * vm_e
+    tr_e = {k: extend_field(grid, c, "c", None) for k, c in state.tracers.items()}
+    r1 = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True)
+    r2 = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True,
+                          raw_fields=(state.u, state.v, state.tracers, um_e, vm_e))
+    for a, b in zip(jax.tree_util.tree_leaves(r1), jax.tree_util.tree_leaves(r2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_zslab_bf16_storage_mode():
+    """bf16-storage/f32-compute (compute_dtype='bf16s' kernel mode): outputs
+    equal the f32 kernel run on inputs pre-rounded to bf16 (rounding at
+    storage is idempotent), stay within bf16 input-rounding distance of the
+    full-f32 kernel, and actually differ from it (rounding really applied)."""
+    import jax
+
+    from gb25_tpu.models.baroclinic import baroclinic_instability_model
+
+    cfg, grid, state = baroclinic_instability_model(Nx=32, Ny=16, Nz=8, dtype=jnp.float32)
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
+    ue = extend_field(grid, state.u, "u", None)
+    ve = extend_field(grid, state.v, "v", None)
+    tr_e = {k: extend_field(grid, c, "c", None) for k, c in state.tracers.items()}
+
+    r32 = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True)
+    rs = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True,
+                          storage_dtype=jnp.bfloat16)
+
+    def rt(x):
+        return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+    rs2 = zslab_tendencies(cfg, grid, f_ff, rt(ue), rt(ve),
+                           {k: rt(v) for k, v in tr_e.items()},
+                           interpret=True, storage_dtype=jnp.bfloat16)
+    diff = 0.0
+    for a, b, c in zip(jax.tree_util.tree_leaves(r32), jax.tree_util.tree_leaves(rs),
+                       jax.tree_util.tree_leaves(rs2)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(c))
+        a, b = np.asarray(a), np.asarray(b)
+        # closeness to the f32 kernel is sanity-level only: bf16 input
+        # rounding flips WENO smoothness-weight selections, so isolated
+        # points legitimately move by O(field scale); the aggregate (RMS)
+        # must stay small and the pointwise error bounded by the range
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() <= 0.5 * scale
+        assert np.sqrt(np.mean((a - b) ** 2)) <= 0.05 * scale
+        diff = max(diff, np.abs(a - b).max())
+    assert diff > 0.0  # the bf16 storage rounding must actually bite
+
+    with pytest.raises(ValueError):  # incompatible with the fused AB2 update
+        ab = (jnp.zeros((1, 2), jnp.float32), state.Gu, state.Gv, state.Gtracers)
+        zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True,
+                         storage_dtype=jnp.bfloat16, ab2=ab)
+
+
+def test_time_step_bf16s_end_to_end(monkeypatch):
+    """Full time_step with compute_dtype='bf16s' (kernel interpret mode):
+    runs, stays finite, tracks the f32 step within bf16 rounding, and raises
+    a clear error when the kernel path is unavailable."""
+    import dataclasses
+
+    import jax
+
+    from gb25_tpu.models.baroclinic import baroclinic_instability_model
+    from gb25_tpu.models.hydrostatic import time_step
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    cfg, grid, state = baroclinic_instability_model(Nx=32, Ny=16, Nz=8, dtype=jnp.float32)
+    cfg_s = dataclasses.replace(cfg, kernels="zslab", compute_dtype="bf16s")
+    cfg_32 = dataclasses.replace(cfg, kernels="zslab")
+
+    s32 = time_step(cfg_32, grid, state, 60.0)
+    ss = time_step(cfg_s, grid, state, 60.0)
+    for a, b in zip(jax.tree_util.tree_leaves(s32), jax.tree_util.tree_leaves(ss)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.isfinite(b).all()
+        # pointwise: bounded by the field range (WENO weight flips move
+        # isolated points by O(scale)); aggregate: small in RMS
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() <= 0.5 * scale
+        assert np.sqrt(np.mean((a - b) ** 2)) <= 0.05 * scale
+
+    monkeypatch.delenv("GB25_ZSLAB_INTERPRET")
+    cfg_bad = dataclasses.replace(cfg, kernels="jnp", compute_dtype="bf16s")
+    with pytest.raises(ValueError, match="bf16s"):
+        time_step(cfg_bad, grid, state, 60.0)
