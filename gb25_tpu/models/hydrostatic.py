@@ -404,9 +404,11 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         # instead of extend + transpose): valid whenever the kernel consumes
         # the LOCAL-extension semantics — single device, or the overlap
         # path's local-only extension — on non-folded grids at native dtype.
+        # (north-fold grids included: extend_field_t3 computes the fold's
+        # thin ghost slabs with the same code as extend_field and writes
+        # them transposed — bitwise-equal, tested)
         raw_ok = (
             cfg.compute_dtype in (None, "bf16s")  # bf16s rounds at storage
-            and not getattr(grid, "north_fold", False)
             and (comm is None or overlap_kernel)
         )
         raw = None

@@ -176,10 +176,36 @@ def extend_field_t3(grid, a, kind: str):
     BC mode in FIELD_BCS acts within its own axis (wrap copies whole
     complete pencils; mirror/antimirror/zerograd/zero are per-pencil), so
     the axis fill order commutes on the corners (tests/test_zslab.py).
+
+    Tripolar (north-fold) grids are supported too: the big pad
+    materialization happens directly in (Z, Y, X) and the fold/south/wrap
+    ghost SLABS — thin (hy rows / hx columns) — are computed with the same
+    code as ``grids.tripolar.extend_field_tripolar`` and written transposed,
+    in the same order (fold, south, x wrap, then z), so corners match
+    bitwise (tests/test_zslab.py::test_extend_field_t3_tripolar).
     """
     (xlo, xhi), (ylo, yhi), (zlo, zhi) = FIELD_BCS[kind]
-    at = jnp.transpose(a, (2, 1, 0))
     hx, hy, hz = grid.halo
+    at = jnp.transpose(a, (2, 1, 0))
+    if getattr(grid, "north_fold", False):
+        from gb25_tpu.grids.tripolar import fold_ghosts_north
+
+        Nx, Ny, Nz = a.shape
+        e = jnp.pad(at, ((hz, hz), (hy, hy), (hx, hx)))
+        north = fold_ghosts_north(a, hy, kind, grid.pole_index)  # (Nx, hy, Nz)
+        e = e.at[hz : hz + Nz, hy + Ny :, hx : hx + Nx].set(
+            jnp.transpose(north, (2, 1, 0))
+        )
+        lo, _ = ghost_blocks(a, hy, 1, FIELD_BCS[kind][1][0], "zerograd")
+        e = e.at[hz : hz + Nz, :hy, hx : hx + Nx].set(jnp.transpose(lo, (2, 1, 0)))
+        # x periodic wrap after the fold (corner halos), whole pencils
+        e = e.at[:, :, :hx].set(e[:, :, Nx : hx + Nx])
+        e = e.at[:, :, hx + Nx :].set(e[:, :, hx : 2 * hx])
+        if hz:
+            zlo_b, zhi_b = ghost_blocks(e[hz : hz + Nz], hz, 0, zlo, zhi)
+            e = e.at[:hz].set(zlo_b)
+            e = e.at[hz + Nz :].set(zhi_b)
+        return e
     return _extend_3d_fast(at, (hz, hy, hx), (zlo, zhi), (ylo, yhi), (xlo, xhi))
 
 

@@ -451,3 +451,36 @@ def test_time_step_bf16s_end_to_end(monkeypatch):
     cfg_bad = dataclasses.replace(cfg, kernels="jnp", compute_dtype="bf16s")
     with pytest.raises(ValueError, match="bf16s"):
         time_step(cfg_bad, grid, state, 60.0)
+
+
+def test_extend_field_t3_tripolar_and_raw_fields():
+    """extend_field_t3 on a north-fold (tripolar) grid is bitwise
+    transpose(extend_field), and the zslab raw_fields fast path matches the
+    pre-extended path bitwise on a tripolar immersed climate-style grid."""
+    import jax
+
+    from gb25_tpu.grids import tripolar_grid
+    from gb25_tpu.grids.immersed import gaussian_islands_bottom, immersed_masks, interior_masks
+    from gb25_tpu.ops.halos import extend_field_t3
+
+    grid = gaussian_islands_bottom(tripolar_grid(32, 16, 8, dtype=jnp.float32))
+    cfg = baroclinic_instability_config()
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    um, vm = interior_masks(grid, None)
+    state = state.replace(u=state.u * um, v=state.v * vm)
+
+    for kind, a in (("u", state.u), ("v", state.v), ("c", state.tracers["T"])):
+        want = jnp.transpose(extend_field(grid, a, kind, None), (2, 1, 0))
+        got = extend_field_t3(grid, a, kind)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
+    _, um_e, vm_e = immersed_masks(grid, None)
+    ue = extend_field(grid, state.u, "u", None) * um_e
+    ve = extend_field(grid, state.v, "v", None) * vm_e
+    tr_e = {k: extend_field(grid, c, "c", None) for k, c in state.tracers.items()}
+    r1 = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True)
+    r2 = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True,
+                          raw_fields=(state.u, state.v, state.tracers, um_e, vm_e))
+    for a, b in zip(jax.tree_util.tree_leaves(r1), jax.tree_util.tree_leaves(r2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
