@@ -6,7 +6,10 @@ Reference analog: the @gbprofile stage timers of
 /root/reference/src/model_utils.jl:99-110.
 """
 
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 3)[0])
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +23,10 @@ from gb25_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
 
+_res = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+_nz = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 ccfg, grid, atmos, state = data_free_ocean_climate_model(
-    resolution=0.5, Nz=64, dtype=jnp.float32,
+    resolution=_res, Nz=_nz, dtype=jnp.float32,
     grid_type="gaussian_islands_tripolar",
 )
 ocfg = ccfg.ocean
@@ -83,3 +88,47 @@ jax.block_until_ready((ue, ve, be))
 timeit("catke_diffusivities alone", lambda u, v, b, e: catke_diffusivities(
     ocfg.closure, grid, u, v, b, e), ue, ve, be, tre["e"])
 timeit("buoyancy alone", lambda t: buoyancy_field(ocfg, grid, t), tre)
+
+# ---- whole-step stages ----
+from gb25_tpu.models.coupled import compute_interface_fluxes, coupled_time_step
+from gb25_tpu.models.hydrostatic import time_step
+
+
+def atmos_lerp(s):
+    return atmos.at_time(s.time)
+
+
+timeit("atmosphere at_time (pre-regrid lerp)", atmos_lerp, state)
+
+
+def fluxes_fn(s):
+    return compute_interface_fluxes(ccfg, grid, atmos, s, None)[0]
+
+
+fl = timeit("interface fluxes (similarity + radiation)", fluxes_fn, state)
+
+
+def ocean_step(s, f):
+    return time_step(ocfg, grid, s, 30.0, None, surface_fluxes=f)
+
+
+timeit("ocean time_step (with fluxes)", ocean_step, state, fl)
+
+
+def coupled(s):
+    return coupled_time_step(ccfg, grid, atmos, s, 30.0, None)
+
+
+timeit("coupled_time_step (full)", coupled, state)
+
+# baroclinic-equivalent step on the same grid minus closure/coupling: the
+# closure/coupling premium is coupled - this
+import dataclasses
+
+ocfg_nc = dataclasses.replace(ocfg, closure=None)
+state_nc = dataclasses.replace(
+    state, tracers={k: v for k, v in state.tracers.items() if k != "e"},
+    Gtracers={k: v for k, v in state.Gtracers.items() if k != "e"},
+)
+timeit("plain hydrostatic step (no closure, same grid)",
+       lambda s: time_step(ocfg_nc, grid, s, 30.0, None), state_nc)
