@@ -66,8 +66,10 @@ def main():
     p.add_argument("--compute-dtype", default=None,
                    help="precision-lowered tendency computation, e.g. bfloat16 "
                         "(MultiFloat analog; f32 state)")
-    p.add_argument("--no-bf16-row", action="store_true",
-                   help="skip the bf16-compute companion measurement")
+    p.add_argument("--no-precision-rows", "--no-bf16-row", dest="no_precision_rows",
+                   action="store_true",
+                   help="skip the precision companion measurements "
+                        "(bf16 / bf16s / f32x2 rows)")
     p.add_argument("--kernels", default="auto",
                    choices=["auto", "zslab", "pallas", "jnp"],
                    help="tendency backend ablation (auto = z-slab Pallas "
@@ -199,7 +201,7 @@ def main():
     if args.config == "climate":
         extra["config"] = "climate"
 
-    if not args.no_bf16_row and args.compute_dtype is None and args.config == "baroclinic":
+    if not args.no_precision_rows and args.compute_dtype is None and args.config == "baroclinic":
         # Precision companion rows (VERDICT r2 item 7): one LOWERED precision
         # with the kernel on (bf16s = bf16-storage windows / f32 arithmetic,
         # the TPU-idiomatic single-limb MultiFloat lowering), one RAISED

@@ -23,7 +23,7 @@ def _run(args, timeout=1200):
 
 def test_bench_json_contract():
     r = _run(["bench.py", "--nx", "64", "--ny", "32", "--nz", "8",
-              "--steps", "2", "--warmup", "1"])
+              "--steps", "2", "--warmup", "1", "--no-precision-rows"])
     assert r.returncode == 0, r.stderr[-2000:]
     line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
