@@ -484,3 +484,38 @@ def test_extend_field_t3_tripolar_and_raw_fields():
                           raw_fields=(state.u, state.v, state.tracers, um_e, vm_e))
     for a, b in zip(jax.tree_util.tree_leaves(r1), jax.tree_util.tree_leaves(r2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_climate_config_takes_raw_fast_path(monkeypatch):
+    """The climate configuration (tripolar + islands + CATKE) must feed the
+    kernel through raw_fields (fused transposed extends) — guard against a
+    future gate change silently reverting it to extend + transpose."""
+    import dataclasses
+
+    import gb25_tpu.models.hydrostatic as H
+    from gb25_tpu.models.coupled import coupled_time_step, data_free_ocean_climate_model
+    from gb25_tpu.ops import pallas_zslab
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    ccfg, grid, atmos, state = data_free_ocean_climate_model(
+        resolution=8.0, Nz=4, dtype=jnp.float32,
+        grid_type="gaussian_islands_tripolar",
+    )
+    ccfg = dataclasses.replace(
+        ccfg, ocean=dataclasses.replace(ccfg.ocean, kernels="zslab"))
+
+    seen = {}
+    orig = pallas_zslab.zslab_tendencies
+
+    def spy(*a, **kw):
+        seen["raw"] = kw.get("raw_fields") is not None
+        seen["ab2"] = kw.get("ab2") is not None
+        return orig(*a, **kw)
+
+    # compute_tendencies from-imports zslab_tendencies at call time, so
+    # patch the defining module
+    monkeypatch.setattr(pallas_zslab, "zslab_tendencies", spy)
+    s = coupled_time_step(ccfg, grid, atmos, state, 30.0)
+    assert seen == {"raw": True, "ab2": True}
+    assert all(bool(jnp.isfinite(x).all())
+               for x in (s.u, s.v, s.tracers["T"], s.tracers["e"]))
