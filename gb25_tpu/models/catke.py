@@ -145,8 +145,31 @@ def catke_diffusivities(closure, grid, ue, ve, be, ee):
     rate C_D(Ri) sqrt(e)/ell [1/s] applied *implicitly* in the vertical
     solve (explicit e^{3/2} dissipation is stiff at ocean dt).
     """
-    dzf = grid.dz_f
+    if getattr(grid, "immersed", False) and grid.bottom_height is not None:
+        from gb25_tpu.ops.halos import extend_field_xy
 
+        bot = extend_field_xy(grid, grid.bottom_height, "c", None)[:, :, None]
+    else:
+        # uniform-depth bottom plane: same values the scalar-zbot form gives
+        zbot = grid.z_f[0, 0, grid.hz]  # domain bottom face
+        bot = jnp.broadcast_to(zbot, (1, 1, 1)).astype(grid.z_f.dtype)
+    return catke_math(closure, ue, ve, be, ee, grid.dz_f, grid.z_f, bot)
+
+
+def catke_math(closure, ue, ve, be, ee, dzf, z_f, bot):
+    """The CATKE formulation as a layout-agnostic pure function.
+
+    Runs unchanged on halo-extended (X, Y, Z) arrays (array path) AND on
+    transposed (Z, Y, X) VMEM windows inside the Pallas CATKE kernel under
+    ``stencils.axis_order(z=0, y=1, x=2)`` (ops/pallas_catke.py) — the same
+    single-source-of-truth discipline as ``tendency_math`` — which is what
+    guarantees the two backends agree.
+
+    ``dzf`` / ``z_f``: vertical profiles broadcastable against the fields
+    ((1, 1, Z) extended, or (W, byh, 1) kernel windows).  ``bot``: bottom
+    depth plane broadcastable the same way ((X, Y, 1) / (1, byh, bxh) /
+    scalar-filled for flat bottoms).
+    """
     from gb25_tpu.ops.stencils import dz_f as d_zf, i_f, ix_c, iy_c, iz_c
 
     # stratification N^2 and shear S^2 at z-faces (bottom face of cell k)
@@ -161,15 +184,8 @@ def catke_diffusivities(closure, grid, ue, ve, be, ee):
     sqrt_e_face = i_f(sqrt_e, "z")
 
     # boundary distance: d = min(C_surf * d_surf, C_bot * d_bot)
-    d_surf = jnp.maximum(-grid.z_f, closure.ell_min)  # z_f <= 0 below surface
-    if getattr(grid, "immersed", False) and grid.bottom_height is not None:
-        from gb25_tpu.ops.halos import extend_field_xy
-
-        bot = extend_field_xy(grid, grid.bottom_height, "c", None)[:, :, None]
-        d_bot = jnp.maximum(grid.z_f - bot, closure.ell_min)
-    else:
-        zbot = grid.z_f[0, 0, grid.hz]  # domain bottom face
-        d_bot = jnp.maximum(grid.z_f - zbot, closure.ell_min)
+    d_surf = jnp.maximum(-z_f, closure.ell_min)  # z_f <= 0 below surface
+    d_bot = jnp.maximum(z_f - bot, closure.ell_min)
     d_bdy = jnp.minimum(closure.C_surf * d_surf, closure.C_bot * d_bot)
     d_bdy = jnp.maximum(d_bdy, closure.ell_min)
 

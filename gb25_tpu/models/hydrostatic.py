@@ -290,18 +290,51 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     diffusivities = None
     G_e_source = None
     G_eps_source = None
+    t3ops = None  # transposed kernel operands, shared CATKE-kernel <-> z-slab
     if isinstance(cfg.closure, CATKEVerticalDiffusivity):
-        be = buoyancy_field(cfg, grid, tr_e)
-        kap_u_e, kap_c_e, kap_e_e, G_e_ext, lam_e_ext = catke_diffusivities(
-            cfg.closure, grid, ue, ve, be, tr_e["e"]
+        from gb25_tpu.ops.pallas_catke import (
+            catke_diffusivities_kernel,
+            catke_kernel_supported,
         )
+        from gb25_tpu.ops.pallas_zslab import _t3, build_t3_operands, zslab_supported
+
+        use_ck = (
+            cfg.compute_dtype is None
+            and cfg.kernels in ("auto", "zslab")
+            and catke_kernel_supported(cfg, grid, comm)
+        )
+        if use_ck and comm is None and zslab_supported(cfg, grid, ue, comm):
+            # climate fast path: build the transposed extended operands ONCE
+            # (fused extends) and share them between the CATKE diffusivity
+            # kernel here and the z-slab tendency kernel below — each
+            # prognostic field is extended exactly once per step
+            t3ops = build_t3_operands(
+                cfg, grid, state.u, state.v, state.tracers,
+                u_mask_e, v_mask_e,
+            )
+            ue_t, ve_t, tr_t, be_t, _ = t3ops
+            ku_i, kc_i, ke_i, Ge_i, lam_i = catke_diffusivities_kernel(
+                cfg.closure, grid, ue_t, ve_t, be_t, tr_t["e"]
+            )
+        elif use_ck:
+            # exchanged fields (sharded) or array-tendency runs: transpose
+            # the already-extended fields for the kernel
+            be = buoyancy_field(cfg, grid, tr_e)
+            ku_i, kc_i, ke_i, Ge_i, lam_i = catke_diffusivities_kernel(
+                cfg.closure, grid, _t3(ue), _t3(ve), _t3(be), _t3(tr_e["e"])
+            )
+        else:
+            be = buoyancy_field(cfg, grid, tr_e)
+            kap_u_e, kap_c_e, kap_e_e, G_e_ext, lam_e_ext = catke_diffusivities(
+                cfg.closure, grid, ue, ve, be, tr_e["e"]
+            )
+            ku_i, kc_i, ke_i = (grid.interior(kap_u_e), grid.interior(kap_c_e),
+                                grid.interior(kap_e_e))
+            Ge_i, lam_i = grid.interior(G_e_ext), grid.interior(lam_e_ext)
         diffusivities = {
-            "kappa_u": grid.interior(kap_u_e),
-            "kappa_c": grid.interior(kap_c_e),
-            "kappa_e": grid.interior(kap_e_e),
-            "lam_e": grid.interior(lam_e_ext),
+            "kappa_u": ku_i, "kappa_c": kc_i, "kappa_e": ke_i, "lam_e": lam_i,
         }
-        G_e_source = grid.interior(G_e_ext)
+        G_e_source = Ge_i
     elif isinstance(cfg.closure, TKEDissipationVerticalDiffusivity):
         be = buoyancy_field(cfg, grid, tr_e)
         ku, kc, ke, keps, G_e_ext, G_eps_ext = keps_diffusivities(
@@ -412,7 +445,10 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             and (comm is None or overlap_kernel)
         )
         raw = None
-        if raw_ok:
+        if t3ops is not None:
+            # operands already built for the CATKE diffusivity kernel
+            ue_k, ve_k, tr_k = ue_c, ve_c, tr_c  # unused by the kernel (DCE)
+        elif raw_ok:
             if grid.immersed:
                 from gb25_tpu.grids.immersed import immersed_masks as _imasks
 
@@ -446,7 +482,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         # x windows spanning the full local tile (no wrap fabrication)
         res = zslab_tendencies(
             cfg, grid_c, f_c, ue_k, ve_k, tr_k, x_wrap=(comm is None), ab2=ab2,
-            raw_fields=raw, storage_dtype=storage,
+            raw_fields=raw, storage_dtype=storage, t3_operands=t3ops,
         )
         if ab2 is not None:
             Gu, Gv, Gtr, u_upd, v_upd, tr_upd = res

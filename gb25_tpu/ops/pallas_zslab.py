@@ -122,6 +122,47 @@ def _generation_tile_caps():
     return GENERATION_TILE_DEFAULTS.get(kind, (24, 8))
 
 
+def build_t3_operands(cfg, grid, u, v, tracers, um_e=None, vm_e=None,
+                      storage_dtype=None):
+    """Interior prognostics -> transposed extended kernel operands
+    ``(ue_t, ve_t, tr_t, be_t, b_total_t)`` via ``extend_field_t3`` (ONE HBM
+    materialization per field).  Shared by the z-slab tendency kernel's
+    ``raw_fields`` mode and the CATKE diffusivity kernel
+    (ops/pallas_catke.py) so the climate fast path extends each prognostic
+    exactly once per step.  LOCAL-extension semantics (single device, or the
+    overlap path's local-only extension)."""
+    from gb25_tpu.ops.halos import extend_field_t3
+
+    dtype = u.dtype
+    sbf16 = storage_dtype == jnp.bfloat16
+    ue_t = extend_field_t3(grid, u, "u")
+    ve_t = extend_field_t3(grid, v, "v")
+    if um_e is not None:
+        ue_t = ue_t * _t3(um_e)
+        ve_t = ve_t * _t3(vm_e)
+    tr_t = {k: extend_field_t3(grid, c, "c") for k, c in tracers.items()}
+    if sbf16:  # bf16 storage of the streamed fields (f32 compute in-kernel)
+        ue_t, ve_t = ue_t.astype(storage_dtype), ve_t.astype(storage_dtype)
+        tr_t = {k: v_.astype(storage_dtype) for k, v_ in tr_t.items()}
+    # buoyancy directly in the transposed layout (elementwise EOS)
+    if "b" in tr_t:
+        be_t = tr_t["b"]
+    elif sbf16:
+        be_t = cfg.eos.buoyancy(
+            tr_t["T"].astype(dtype), tr_t["S"].astype(dtype), _t3(grid.z_c)
+        ).astype(storage_dtype)
+    else:
+        be_t = cfg.eos.buoyancy(tr_t["T"], tr_t["S"], _t3(grid.z_c))
+    hz, Nz = grid.hz, grid.Nz
+    Z = Nz + 2 * hz
+    hzS = slice(hz, hz + Nz)
+    dz_t = jnp.broadcast_to(_t3(grid.dz_c), (Z, 1, 1))
+    bdz_t = (be_t[hzS].astype(jnp.float32) * dz_t[hzS] if sbf16
+             else (be_t[hzS] * dz_t[hzS]).astype(jnp.float32))
+    b_total_t = jnp.sum(bdz_t, axis=0, keepdims=True)
+    return ue_t, ve_t, tr_t, be_t, b_total_t
+
+
 def zslab_supported(cfg, grid, ue, comm=None) -> bool:
     """True when the z-slab kernel can run this configuration on this
     backend.  On-TPU (v5e, 1536x768x64 f32) the kernel-carried step runs
@@ -173,7 +214,7 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
 
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                      interpret=False, x_wrap=True, ab2=None, raw_fields=None,
-                     storage_dtype=None):
+                     storage_dtype=None, t3_operands=None):
     """Fused tendency stage with transposed z-slab streaming.
 
     Requires hz >= 3 and Nz % bz == 0. Returns interior (Gu, Gv, {Gc}).
@@ -236,7 +277,14 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
         # cap per TPU generation (GENERATION_TILE_DEFAULTS)
         bz = _choose_tile(Nz, bz_cap)
     assert hz >= 3 and Nz % bz == 0
-    if raw_fields is not None:
+    if t3_operands is not None:
+        # prebuilt transposed operands (build_t3_operands), shared with the
+        # CATKE diffusivity kernel on the climate fast path
+        ue_t, ve_t, tr_t, be_t, b_total_t = t3_operands
+        X, Y, Z = Nx + 2 * hx, Ny + 2 * hy, Nz + 2 * hz
+        dtype = grid.dz_c.dtype  # compute dtype (operands may be bf16 storage)
+        vma_src = ue_t
+    elif raw_fields is not None:
         u_raw = raw_fields[0]
         X, Y, Z = Nx + 2 * hx, Ny + 2 * hy, Nz + 2 * hz
         dtype = u_raw.dtype
@@ -350,32 +398,19 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     # factor W/bz in VPU time, while reading it back costs one HBM pass.
     # The column integral of b dz (pressure anchor) comes from the same be.
     hzS = slice(hz, hz + Nz)
-    if raw_fields is not None:
-        from gb25_tpu.ops.halos import extend_field_t3
-
-        _, v_raw, trs_raw, um_e, vm_e = raw_fields
-        ue_t = extend_field_t3(grid, u_raw, "u")
-        ve_t = extend_field_t3(grid, v_raw, "v")
-        if um_e is not None:
-            ue_t = ue_t * _t3(um_e)
-            ve_t = ve_t * _t3(vm_e)
-        tr_t = {k: extend_field_t3(grid, c, "c") for k, c in trs_raw.items()}
-        if sbf16:  # bf16 storage of the streamed fields (f32 compute in-kernel)
-            ue_t, ve_t = ue_t.astype(storage_dtype), ve_t.astype(storage_dtype)
-            tr_t = {k: v.astype(storage_dtype) for k, v in tr_t.items()}
-        # buoyancy directly in the transposed layout (elementwise EOS)
-        if "b" in tr_t:
-            be_t = tr_t["b"]
-        elif sbf16:
-            be_t = cfg.eos.buoyancy(
-                tr_t["T"].astype(dtype), tr_t["S"].astype(dtype), _t3(grid.z_c)
-            ).astype(storage_dtype)
-        else:
-            be_t = cfg.eos.buoyancy(tr_t["T"], tr_t["S"], _t3(grid.z_c))
-        dz_t = jnp.broadcast_to(_t3(grid.dz_c), (Z, 1, 1))
-        bdz_t = (be_t[hzS].astype(acc_dtype) * dz_t[hzS] if sbf16
-                 else (be_t[hzS] * dz_t[hzS]).astype(acc_dtype))
-        b_total_t = jnp.sum(bdz_t, axis=0, keepdims=True)
+    if t3_operands is not None:
+        # ue_t .. b_total_t unpacked above (shared with the CATKE kernel);
+        # a storage-dtype mismatch must be declared via storage_dtype
+        if ue_t.dtype != dtype and not sbf16:
+            raise ValueError(
+                f"t3_operands dtype {ue_t.dtype} != compute dtype {dtype} "
+                "without storage_dtype"
+            )
+    elif raw_fields is not None:
+        u_raw, v_raw, trs_raw, um_e, vm_e = raw_fields
+        ue_t, ve_t, tr_t, be_t, b_total_t = build_t3_operands(
+            cfg, grid, u_raw, v_raw, trs_raw, um_e, vm_e, storage_dtype
+        )
     else:
         if sbf16:
             ue, ve = ue.astype(storage_dtype), ve.astype(storage_dtype)
@@ -389,7 +424,8 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                else (be[:, :, hzS] * grid.dz_c[:, :, hzS]).astype(acc_dtype))
         b_total = jnp.sum(bdz, axis=2, keepdims=True)
 
-    tracer_names = sorted(tr_e.keys())
+    t3_mode = t3_operands is not None or raw_fields is not None
+    tracer_names = sorted(tr_t.keys() if t3_mode else tr_e.keys())
     metric_names = ["dxc", "dxf", "dyc", "dyf", "azc", "azf"]
     metrics = [padx(_t3(getattr(grid, m))) for m in metric_names] + [padx(_t3(f_ff))]
     n_fields = 2 + len(tracer_names) + 1  # u, v, tracers, be (windowed)
@@ -574,7 +610,7 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
         interpret=interpret,
     )
 
-    if raw_fields is not None:
+    if t3_mode:
         prog_ops = [padx(ue_t), padx(ve_t),
                     *[padx(tr_t[n]) for n in tracer_names],
                     padx(be_t), padx(b_total_t)]

@@ -508,7 +508,10 @@ def test_climate_config_takes_raw_fast_path(monkeypatch):
     orig = pallas_zslab.zslab_tendencies
 
     def spy(*a, **kw):
-        seen["raw"] = kw.get("raw_fields") is not None
+        # the fused-extends operands arrive either prebuilt (t3_operands,
+        # shared with the CATKE diffusivity kernel) or as raw_fields
+        seen["fused_extends"] = (kw.get("raw_fields") is not None
+                                 or kw.get("t3_operands") is not None)
         seen["ab2"] = kw.get("ab2") is not None
         return orig(*a, **kw)
 
@@ -516,6 +519,6 @@ def test_climate_config_takes_raw_fast_path(monkeypatch):
     # patch the defining module
     monkeypatch.setattr(pallas_zslab, "zslab_tendencies", spy)
     s = coupled_time_step(ccfg, grid, atmos, state, 30.0)
-    assert seen == {"raw": True, "ab2": True}
+    assert seen == {"fused_extends": True, "ab2": True}
     assert all(bool(jnp.isfinite(x).all())
                for x in (s.u, s.v, s.tracers["T"], s.tracers["e"]))
