@@ -336,18 +336,33 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         }
         G_e_source = Ge_i
     elif isinstance(cfg.closure, TKEDissipationVerticalDiffusivity):
-        be = buoyancy_field(cfg, grid, tr_e)
-        ku, kc, ke, keps, G_e_ext, G_eps_ext = keps_diffusivities(
-            cfg.closure, grid, ue, ve, be, tr_e["e"], tr_e["eps"]
+        from gb25_tpu.ops.pallas_catke import (
+            catke_kernel_supported,
+            keps_diffusivities_kernel,
         )
+        from gb25_tpu.ops.pallas_zslab import _t3
+
+        be = buoyancy_field(cfg, grid, tr_e)
+        if (cfg.compute_dtype is None and cfg.kernels in ("auto", "zslab")
+                and catke_kernel_supported(cfg, grid, comm)):
+            ku_i, kc_i, ke_i, keps_i, G_e_source, G_eps_source = (
+                keps_diffusivities_kernel(
+                    cfg.closure, grid, _t3(ue), _t3(ve), _t3(be),
+                    _t3(tr_e["e"]), _t3(tr_e["eps"]),
+                )
+            )
+        else:
+            ku, kc, ke, keps, G_e_ext, G_eps_ext = keps_diffusivities(
+                cfg.closure, grid, ue, ve, be, tr_e["e"], tr_e["eps"]
+            )
+            ku_i, kc_i, ke_i, keps_i = (grid.interior(ku), grid.interior(kc),
+                                        grid.interior(ke), grid.interior(keps))
+            G_e_source = grid.interior(G_e_ext)
+            G_eps_source = grid.interior(G_eps_ext)
         diffusivities = {
-            "kappa_u": grid.interior(ku),
-            "kappa_c": grid.interior(kc),
-            "kappa_e": grid.interior(ke),
-            "kappa_eps": grid.interior(keps),
+            "kappa_u": ku_i, "kappa_c": kc_i,
+            "kappa_e": ke_i, "kappa_eps": keps_i,
         }
-        G_e_source = grid.interior(G_e_ext)
-        G_eps_source = grid.interior(G_eps_ext)
 
     # -- stages 3+5: auxiliaries + tendencies, either as one fused Pallas
     # mega-kernel (TPU fast path) or as XLA-fused array ops --

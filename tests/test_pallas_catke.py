@@ -84,3 +84,59 @@ def test_climate_step_kernel_vs_array_catke(monkeypatch):
         # kernel-vs-array tendency noise (see test_zslab rtol 2e-4) through
         # one step's update
         np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-6)
+
+
+def test_keps_kernel_matches_array():
+    from gb25_tpu.models.keps import TKEDissipationVerticalDiffusivity, keps_diffusivities
+    from gb25_tpu.ops.pallas_catke import keps_diffusivities_kernel
+
+    grid = simple_latitude_longitude_grid(64, 32, 16, dtype=jnp.float32)
+    cl = TKEDissipationVerticalDiffusivity()
+    cfg = baroclinic_instability_config(closure=cl)
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    tr = dict(state.tracers)
+    tr["e"] = jnp.full(grid.shape, 1e-5, jnp.float32)
+    tr["eps"] = jnp.full(grid.shape, 1e-8, jnp.float32)
+    state = state.replace(tracers=tr)
+    ue = extend_field(grid, state.u, "u", None)
+    ve = extend_field(grid, state.v, "v", None)
+    tr_e = {k: extend_field(grid, c, "c", None) for k, c in state.tracers.items()}
+    be = buoyancy_field(cfg, grid, tr_e)
+
+    want = keps_diffusivities(cl, grid, ue, ve, be, tr_e["e"], tr_e["eps"])
+    want = [np.asarray(grid.interior(w)) for w in want]
+    got = keps_diffusivities_kernel(cl, grid, _t3(ue), _t3(ve), _t3(be),
+                                    _t3(tr_e["e"]), _t3(tr_e["eps"]), interpret=True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-6, atol=1e-12)
+
+
+def test_keps_step_kernel_vs_array(monkeypatch):
+    """Full time_step with the k-eps closure: kernel path vs array path."""
+    import jax
+
+    from gb25_tpu.models import time_step
+    from gb25_tpu.models.keps import TKEDissipationVerticalDiffusivity
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    cl = TKEDissipationVerticalDiffusivity()
+    cfg_k = dataclasses.replace(
+        baroclinic_instability_config(closure=cl), kernels="zslab")
+    cfg_a = dataclasses.replace(
+        baroclinic_instability_config(closure=cl), kernels="jnp")
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    tr = dict(state.tracers)
+    tr["e"] = jnp.full(grid.shape, 1e-5, jnp.float32)
+    tr["eps"] = jnp.full(grid.shape, 1e-8, jnp.float32)
+    gtr = dict(state.Gtracers)
+    gtr["e"] = jnp.zeros(grid.shape, jnp.float32)
+    gtr["eps"] = jnp.zeros(grid.shape, jnp.float32)
+    state = state.replace(tracers=tr, Gtracers=gtr)
+
+    sk = time_step(cfg_k, grid, state, 60.0)
+    sa = time_step(cfg_a, grid, state, 60.0)
+    for a, b in zip(jax.tree_util.tree_leaves(sa), jax.tree_util.tree_leaves(sk)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-6)
