@@ -307,22 +307,30 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             # climate fast path: build the transposed extended operands ONCE
             # (fused extends) and share them between the CATKE diffusivity
             # kernel here and the z-slab tendency kernel below — each
-            # prognostic field is extended exactly once per step
+            # prognostic field is extended exactly once per step.  Kappas and
+            # lam_e stay (Z, Y, X): the Thomas kernel consumes them
+            # transposed anyway (skips an un/re-transpose pair per array).
             t3ops = build_t3_operands(
                 cfg, grid, state.u, state.v, state.tracers,
                 u_mask_e, v_mask_e,
             )
             ue_t, ve_t, tr_t, be_t, _ = t3ops
-            ku_i, kc_i, ke_i, Ge_i, lam_i = catke_diffusivities_kernel(
-                cfg.closure, grid, ue_t, ve_t, be_t, tr_t["e"]
+            ku_i, kc_i, ke_i, Ge_t, lam_i = catke_diffusivities_kernel(
+                cfg.closure, grid, ue_t, ve_t, be_t, tr_t["e"],
+                t3_outputs=True,
             )
+            Ge_i = jnp.transpose(Ge_t, (2, 1, 0))  # G_e feeds (X,Y,Z) sums
+            kappas_t3 = True
         elif use_ck:
             # exchanged fields (sharded) or array-tendency runs: transpose
             # the already-extended fields for the kernel
             be = buoyancy_field(cfg, grid, tr_e)
-            ku_i, kc_i, ke_i, Ge_i, lam_i = catke_diffusivities_kernel(
-                cfg.closure, grid, _t3(ue), _t3(ve), _t3(be), _t3(tr_e["e"])
+            ku_i, kc_i, ke_i, Ge_t, lam_i = catke_diffusivities_kernel(
+                cfg.closure, grid, _t3(ue), _t3(ve), _t3(be), _t3(tr_e["e"]),
+                t3_outputs=True,
             )
+            Ge_i = jnp.transpose(Ge_t, (2, 1, 0))
+            kappas_t3 = True
         else:
             be = buoyancy_field(cfg, grid, tr_e)
             kap_u_e, kap_c_e, kap_e_e, G_e_ext, lam_e_ext = catke_diffusivities(
@@ -331,8 +339,10 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             ku_i, kc_i, ke_i = (grid.interior(kap_u_e), grid.interior(kap_c_e),
                                 grid.interior(kap_e_e))
             Ge_i, lam_i = grid.interior(G_e_ext), grid.interior(lam_e_ext)
+            kappas_t3 = False
         diffusivities = {
             "kappa_u": ku_i, "kappa_c": kc_i, "kappa_e": ke_i, "lam_e": lam_i,
+            "t3": kappas_t3,
         }
         G_e_source = Ge_i
     elif isinstance(cfg.closure, TKEDissipationVerticalDiffusivity):
@@ -345,12 +355,15 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         be = buoyancy_field(cfg, grid, tr_e)
         if (cfg.compute_dtype is None and cfg.kernels in ("auto", "zslab")
                 and catke_kernel_supported(cfg, grid, comm)):
-            ku_i, kc_i, ke_i, keps_i, G_e_source, G_eps_source = (
+            ku_i, kc_i, ke_i, keps_i, Ge_t, Geps_t = (
                 keps_diffusivities_kernel(
                     cfg.closure, grid, _t3(ue), _t3(ve), _t3(be),
-                    _t3(tr_e["e"]), _t3(tr_e["eps"]),
+                    _t3(tr_e["e"]), _t3(tr_e["eps"]), t3_outputs=True,
                 )
             )
+            G_e_source = jnp.transpose(Ge_t, (2, 1, 0))
+            G_eps_source = jnp.transpose(Geps_t, (2, 1, 0))
+            kappas_t3 = True
         else:
             ku, kc, ke, keps, G_e_ext, G_eps_ext = keps_diffusivities(
                 cfg.closure, grid, ue, ve, be, tr_e["e"], tr_e["eps"]
@@ -359,9 +372,10 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                                         grid.interior(ke), grid.interior(keps))
             G_e_source = grid.interior(G_e_ext)
             G_eps_source = grid.interior(G_eps_ext)
+            kappas_t3 = False
         diffusivities = {
             "kappa_u": ku_i, "kappa_c": kc_i,
-            "kappa_e": ke_i, "kappa_eps": keps_i,
+            "kappa_e": ke_i, "kappa_eps": keps_i, "t3": kappas_t3,
         }
 
     # -- stages 3+5: auxiliaries + tendencies, either as one fused Pallas
@@ -772,6 +786,7 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         hz, Nz = grid.hz, grid.Nz
         dzc = grid.dz_c[:, :, hz : hz + Nz]
         dzf = grid.dz_f[:, :, hz : hz + Nz]
+        kt3 = diffusivities.get("t3", False)  # kappas arrive (Z, Y, X)
         ku, kc = diffusivities["kappa_u"], diffusivities["kappa_c"]
         special = {"e": diffusivities.get("kappa_e"), "eps": diffusivities.get("kappa_eps")}
         damping = {"e": diffusivities.get("lam_e")}  # implicit TKE dissipation
@@ -783,8 +798,17 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
             tridiag_supported,
         )
 
-        if tridiag_supported((u_new, v_new), ku, dzc, dzf):
-            u_new, v_new = pallas_implicit_diffusion((u_new, v_new), ku, dt, dzc, dzf)
+        if not tridiag_supported((u_new, v_new), ku, dzc, dzf, kappa_t3=kt3) and kt3:
+            # scan-path fallback wants (X, Y, Z) kappas
+            un_t3 = lambda a: None if a is None else jnp.transpose(a, (2, 1, 0))
+            ku, kc = un_t3(ku), un_t3(kc)
+            special = {k: un_t3(v) for k, v in special.items()}
+            damping = {k: un_t3(v) for k, v in damping.items()}
+            kt3 = False
+
+        if tridiag_supported((u_new, v_new), ku, dzc, dzf, kappa_t3=kt3):
+            u_new, v_new = pallas_implicit_diffusion((u_new, v_new), ku, dt,
+                                                     dzc, dzf, kappa_t3=kt3)
         else:
             u_new = implicit_vertical_diffusion(u_new, ku, dt, dzc, dzf)
             v_new = implicit_vertical_diffusion(v_new, ku, dt, dzc, dzf)
@@ -792,21 +816,32 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
                       if special.get(k) is None and damping.get(k) is None)
         tracers = dict(tracers)
         if len(plain) > 1 and tridiag_supported(
-            tuple(tracers[k] for k in plain), kc, dzc, dzf
+            tuple(tracers[k] for k in plain), kc, dzc, dzf, kappa_t3=kt3
         ):
             sols = pallas_implicit_diffusion(
-                tuple(tracers[k] for k in plain), kc, dt, dzc, dzf
+                tuple(tracers[k] for k in plain), kc, dt, dzc, dzf, kappa_t3=kt3
             )
             tracers.update(zip(plain, sols))
             rest = [k for k in tracers if k not in plain]
         else:
             rest = list(tracers)
         for k in rest:
-            tracers[k] = implicit_vertical_diffusion(
-                tracers[k],
-                special.get(k) if special.get(k) is not None else kc,
-                dt, dzc, dzf, damping=damping.get(k),
-            )
+            kap_k = special.get(k) if special.get(k) is not None else kc
+            damp_k = damping.get(k)
+            if kt3 and tridiag_supported(tracers[k], kap_k, dzc, dzf,
+                                         damping=damp_k, kappa_t3=True):
+                tracers[k] = pallas_implicit_diffusion(
+                    tracers[k], kap_k, dt, dzc, dzf, damping=damp_k,
+                    kappa_t3=True,
+                )
+            else:
+                if kt3:
+                    kap_k = jnp.transpose(kap_k, (2, 1, 0))
+                    if damp_k is not None:
+                        damp_k = jnp.transpose(damp_k, (2, 1, 0))
+                tracers[k] = implicit_vertical_diffusion(
+                    tracers[k], kap_k, dt, dzc, dzf, damping=damp_k,
+                )
         tracers["e"] = jnp.maximum(tracers["e"], 0.0)
         if "eps" in tracers:
             tracers["eps"] = jnp.maximum(tracers["eps"], 0.0)

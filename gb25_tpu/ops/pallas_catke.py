@@ -63,7 +63,7 @@ def catke_kernel_supported(cfg, grid, comm=None) -> bool:
 
 def column_closure_kernel(grid, fields_t, zrows, planes, math, n_out,
                           by=None, bz=None, interpret=False,
-                          transcendentals_per_cell=2):
+                          transcendentals_per_cell=2, t3_outputs=False):
     """Generic transposed streaming kernel for column-local closure math.
 
     ``fields_t``: transposed (Z, Y, X) extended field operands (windowed
@@ -175,6 +175,11 @@ def column_closure_kernel(grid, fields_t, zrows, planes, math, n_out,
         ),
         interpret=interpret,
     )(*operands)
+    if t3_outputs:
+        # stay (Z, Y, X): the Thomas kernel (ops/pallas_tridiag.py) consumes
+        # kappas transposed anyway — skipping the un-transpose + re-transpose
+        # pair saves two interior HBM passes per output on the climate step
+        return tuple(outs)
     return tuple(jnp.transpose(o, (2, 1, 0)) for o in outs)
 
 
@@ -195,7 +200,8 @@ def _bottom_plane(grid):
 
 
 def catke_diffusivities_kernel(closure, grid, ue_t, ve_t, be_t, ee_t,
-                               by=None, bz=None, interpret=False):
+                               by=None, bz=None, interpret=False,
+                               t3_outputs=False):
     """Fused CATKE diffusivities from transposed (Z, Y, X) extended fields.
 
     Returns INTERIOR ``(kappa_u, kappa_c, kappa_e, G_e, lam_e)`` as
@@ -210,11 +216,13 @@ def catke_diffusivities_kernel(closure, grid, ue_t, ve_t, be_t, ee_t,
     return column_closure_kernel(
         grid, (ue_t, ve_t, be_t, ee_t), (grid.dz_f, grid.z_f),
         (_bottom_plane(grid),), math, 5, by=by, bz=bz, interpret=interpret,
+        t3_outputs=t3_outputs,
     )
 
 
 def keps_diffusivities_kernel(closure, grid, ue_t, ve_t, be_t, ee_t, eps_t,
-                              by=None, bz=None, interpret=False):
+                              by=None, bz=None, interpret=False,
+                              t3_outputs=False):
     """Fused k-epsilon diffusivities from transposed extended fields.
 
     Returns INTERIOR ``(kappa_u, kappa_c, kappa_e, kappa_eps, G_e, G_eps)``
@@ -228,4 +236,5 @@ def keps_diffusivities_kernel(closure, grid, ue_t, ve_t, be_t, ee_t, eps_t,
     return column_closure_kernel(
         grid, (ue_t, ve_t, be_t, ee_t, eps_t), (grid.dz_f,), (), math, 6,
         by=by, bz=bz, interpret=interpret, transcendentals_per_cell=0,
+        t3_outputs=t3_outputs,
     )

@@ -47,11 +47,14 @@ def _pick(n, want, quantum):
     return best
 
 
-def tridiag_supported(field, kappa_face, dz_c, dz_f, damping=None) -> bool:
+def tridiag_supported(field, kappa_face, dz_c, dz_f, damping=None,
+                      kappa_t3=False) -> bool:
     """Gate for the Pallas Thomas kernel: f32 on TPU (or interpret mode),
     full-shape kappa (the closure path), vertical-only dz columns, tileable
     horizontal extents.  ``field`` may be one array or a tuple sharing the
-    kappa."""
+    kappa.  ``kappa_t3``: kappa (and damping) arrive already transposed
+    (Z, Y, X) — the layout the kernel wants — from the fused column-closure
+    kernel (ops/pallas_catke.py)."""
     if int(os.environ.get("GB25_DISABLE_PALLAS", "0")):
         return False
     if jax.default_backend() != "tpu" and not int(
@@ -60,12 +63,13 @@ def tridiag_supported(field, kappa_face, dz_c, dz_f, damping=None) -> bool:
         return False
     fields = field if isinstance(field, (tuple, list)) else (field,)
     shape = fields[0].shape
+    kshape = shape[::-1] if kappa_t3 else shape
     for f in fields:
         if f.dtype != jnp.float32 or f.shape != shape:
             return False
-    if getattr(kappa_face, "shape", ()) != shape:
+    if getattr(kappa_face, "shape", ()) != kshape:
         return False
-    if damping is not None and getattr(damping, "shape", ()) != shape:
+    if damping is not None and getattr(damping, "shape", ()) != kshape:
         return False
     X, Y, Z = shape
     if Z > 128:
@@ -80,7 +84,8 @@ def tridiag_supported(field, kappa_face, dz_c, dz_f, damping=None) -> bool:
 
 
 def pallas_implicit_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None,
-                              bx=None, by=None, interpret=False):
+                              bx=None, by=None, interpret=False,
+                              kappa_t3=False):
     """Backward-Euler vertical diffusion solve, one HBM pass.
 
     Same contract as ops.tridiagonal.implicit_vertical_diffusion restricted
@@ -121,9 +126,10 @@ def pallas_implicit_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None,
         return jnp.transpose(a, (2, 1, 0))
 
     has_damp = damping is not None
-    operands = [t2(f) for f in fields] + [t2(kappa_face)]
+    tk = (lambda a: a) if kappa_t3 else t2  # kappa may arrive pre-transposed
+    operands = [t2(f) for f in fields] + [tk(kappa_face)]
     if has_damp:
-        operands.append(t2(damping))
+        operands.append(tk(damping))
     n_in = len(operands)
 
     def kernel(dt_ref, cl_ref, cm_ref, *refs):
