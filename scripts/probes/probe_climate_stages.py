@@ -132,3 +132,23 @@ state_nc = dataclasses.replace(
 )
 timeit("plain hydrostatic step (no closure, same grid)",
        lambda s: time_step(ocfg_nc, grid, s, 30.0, None), state_nc)
+
+# ---- optional XSpace trace of the coupled step (run with PROFILE=1):
+# writes a trace and prints the top ops by self time, so transpose/copy
+# overhead is directly visible (analysis/xplane.py decoder)
+import os
+
+if int(os.environ.get("PROFILE", "0")):
+    from gb25_tpu.utils.profiling import with_profiler
+    from gb25_tpu.analysis import summarize
+
+    pdir = os.environ.get("PROFILE_DIR", "/tmp/climate_profile")
+    cj = jax.jit(coupled)
+    cj(state)  # compiled above; ensure warm
+
+    with with_profiler(pdir):
+        s = state
+        for _ in range(8):
+            s = cj(s)
+        np.asarray(jax.device_get(s.iteration))
+    print(summarize(pdir, top=25), flush=True)
