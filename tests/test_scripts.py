@@ -47,3 +47,17 @@ def test_compile_dump_script(tmp_path):
     names = os.listdir(tmp_path)
     assert any(n.endswith(".stablehlo.mlir") for n in names)
     assert any(n.endswith(".hlo.txt") for n in names)
+
+
+@pytest.mark.skipif(
+    not int(os.environ.get("GB25_SCRIPT_TESTS", "0")),
+    reason="covered by the CI compile-artifacts job; set GB25_SCRIPT_TESTS=1",
+)
+def test_climate_compile_dump_script(tmp_path):
+    r = _run(["scripts/ocean_climate_simulation_compile.py",
+              "--resolution", "12", "--Nz", "4", "--steps", "2",
+              "--out-dir", str(tmp_path)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    names = os.listdir(tmp_path)
+    assert any("ocean_climate" in n and n.endswith(".stablehlo.mlir") for n in names)
+    assert any("ocean_climate" in n and n.endswith(".hlo.txt") for n in names)
