@@ -249,7 +249,7 @@ def split_tendency_math(cfg, grid, f_ff, ue, ve, tr_e, ue_loc, ve_loc, tr_loc):
 
 
 def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restoring=None,
-                       ab2=None):
+                       ab2=None, g_t3=False):
     """Stages 1-5: returns interior tendency arrays (Gu, Gv, Geta, {Gc})
     plus ``updated`` — the kernel-fused AB2 state update (u*, v*, tracers)
     when ``ab2`` was passed AND the z-slab kernel carried the tendency
@@ -512,6 +512,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         res = zslab_tendencies(
             cfg, grid_c, f_c, ue_k, ve_k, tr_k, x_wrap=(comm is None), ab2=ab2,
             raw_fields=raw, storage_dtype=storage, t3_operands=t3ops,
+            g_t3=g_t3,
         )
         if ab2 is not None:
             Gu, Gv, Gtr, u_upd, v_upd, tr_upd = res
@@ -685,8 +686,12 @@ def _ab2_coeffs(cfg, state, dtype):
 
 
 def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=None,
-              surface_fluxes=None, restoring=None):
-    """One full quasi-AB2 hydrostatic time step (stages 1-8). Pure function."""
+              surface_fluxes=None, restoring=None, g_t3=False):
+    """One full quasi-AB2 hydrostatic time step (stages 1-8). Pure function.
+
+    ``g_t3``: the stored tendencies in ``state`` arrive AND leave in the
+    kernel's transposed (Z, Y, X) layout (the transposed-G carry of
+    ``loop``; see ``_g_t3_ok``). Only ``loop`` sets this."""
     dtype = state.u.dtype
     dt = jnp.asarray(dt, dtype)
     if grid.immersed:
@@ -724,7 +729,7 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         ab2 = (jnp.stack([dt * c1, dt * c2]).reshape(1, 2), state.Gu, state.Gv,
                state.Gtracers)
     Gu, Gv, Geta, Gtr, diffusivities, updated = compute_tendencies(
-        cfg, grid, state, comm, surface_fluxes, restoring, ab2=ab2
+        cfg, grid, state, comm, surface_fluxes, restoring, ab2=ab2, g_t3=g_t3
     )
 
     if updated is not None:
@@ -860,19 +865,61 @@ def loop(cfg, grid, state, dt, n, comm=None):
     """n time steps as one on-device loop (reference: GordonBell25.loop!,
     /root/reference/src/timestepping_utils.jl:37-45 — a single HLO while).
 
-    On the serial TPU fast path the loop carries the prognostic fields in
-    *extended* (halo-included) form: each iteration refreshes the thin ghost
-    slabs in place instead of re-materializing the extended arrays
-    (pad + interior copy, ~12 ms/step at the flagship grid)."""
+    On the fused-AB2 kernel fast path the loop carries the stored tendencies
+    (Gu/Gv/Gtracers) in the kernel's transposed (Z, Y, X) layout across
+    iterations (``_g_t3_ok``): both their producer (the kernel epilogue) and
+    their only consumer (next step's dt*c2 prev term) are the z-slab kernel,
+    whose pallas custom-call operand/result layouts are fixed — XLA cannot
+    relayout across them, so the per-step un-transpose + re-transpose pair
+    is real HBM traffic (~16 interior passes at the flagship grid). The
+    transposes are exact permutes, so the loop is bitwise-identical to
+    repeated ``time_step`` calls (tested)."""
     import jax
 
     if _fast_loop_ok(cfg, grid, state, comm):
         return _loop_extended(cfg, grid, state, dt, n)
 
+    if _g_t3_ok(cfg, grid, state, comm):
+        def t3(a):
+            return jnp.transpose(a, (2, 1, 0))
+
+        def t3g(s):
+            return s.replace(Gu=t3(s.Gu), Gv=t3(s.Gv),
+                             Gtracers={k: t3(v) for k, v in s.Gtracers.items()})
+
+        def body(_, s):
+            return time_step(cfg, grid, s, dt, comm, g_t3=True)
+
+        return t3g(jax.lax.fori_loop(0, n, body, t3g(state)))
+
     def body(_, s):
         return time_step(cfg, grid, s, dt, comm)
 
     return jax.lax.fori_loop(0, n, body, state)
+
+
+def _g_t3_ok(cfg, grid, state, comm):
+    """Transposed-G carry eligibility: the fused-AB2 kernel path with no
+    post-kernel G consumer other than the v wall mask (whose y axis rides
+    dimension 1 in both layouts). Kill switch: GB25_G_T3=0."""
+    import os
+
+    from gb25_tpu.ops.pallas_zslab import zslab_supported
+
+    return (
+        bool(int(os.environ.get("GB25_G_T3", "1")))
+        and comm is None
+        and cfg.compute_dtype is None
+        and cfg.closure is None
+        and not grid.immersed
+        and not getattr(grid, "north_fold", False)
+        and grid.Nx % 128 == 0  # xtail == 0: prev-G blocks feed unpadded
+        and isinstance(cfg.free_surface, SplitExplicitFreeSurface)
+        and (
+            cfg.kernels == "zslab"
+            or (cfg.kernels == "auto" and zslab_supported(cfg, grid, state.u))
+        )
+    )
 
 
 def _fast_loop_ok(cfg, grid, state, comm):

@@ -214,7 +214,7 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
 
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                      interpret=False, x_wrap=True, ab2=None, raw_fields=None,
-                     storage_dtype=None, t3_operands=None):
+                     storage_dtype=None, t3_operands=None, g_t3=False):
     """Fused tendency stage with transposed z-slab streaming.
 
     Requires hz >= 3 and Nz % bz == 0. Returns interior (Gu, Gv, {Gc}).
@@ -626,11 +626,18 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     ]
     if ab2 is not None:
         ab, Gu_prev, Gv_prev, Gtr_prev = ab2
-        def t3p(a):  # prev-G blocks: zero-pad the x tail (outputs discarded)
-            a = _t3(a)
+        if g_t3:
+            # transposed-G carry (models.hydrostatic.loop): the prev
+            # tendencies already arrive in the kernel's (Z, Y, X) layout
             if xtail:
-                a = jnp.pad(a, ((0, 0), (0, 0), (0, xtail)))
-            return a
+                raise ValueError("g_t3 requires Nx % 128 == 0 (no wrap tail)")
+            t3p = lambda a: a
+        else:
+            def t3p(a):  # prev-G blocks: zero-pad the x tail (outputs discarded)
+                a = _t3(a)
+                if xtail:
+                    a = jnp.pad(a, ((0, 0), (0, 0), (0, xtail)))
+                return a
 
         operands += [ab, t3p(Gu_prev), t3p(Gv_prev)]
         operands += [t3p(Gtr_prev[n]) for n in tracer_names]
@@ -646,8 +653,11 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     def t3o(o):  # (Nz, Ny, Nxp) -> (Nx, Ny, Nz), dropping the wrap tail
         return _t3(o)[:Nx]
 
-    Gu, Gv = t3o(outs[0]), t3o(outs[1])
-    Gtr = {name: t3o(outs[2 + t]) for t, name in enumerate(tracer_names)}
+    # transposed-G carry: the G outputs stay (Nz, Ny, Nx) — their only
+    # consumer is the next step's prev-G kernel operand (same layout)
+    t3g = (lambda o: o) if g_t3 else t3o
+    Gu, Gv = t3g(outs[0]), t3g(outs[1])
+    Gtr = {name: t3g(outs[2 + t]) for t, name in enumerate(tracer_names)}
     if ab2 is None:
         return Gu, Gv, Gtr
     u_new, v_new = t3o(outs[n_prog]), t3o(outs[n_prog + 1])

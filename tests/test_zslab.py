@@ -522,3 +522,37 @@ def test_climate_config_takes_raw_fast_path(monkeypatch):
     assert seen == {"fused_extends": True, "ab2": True}
     assert all(bool(jnp.isfinite(x).all())
                for x in (s.u, s.v, s.tracers["T"], s.tracers["e"]))
+
+
+def test_g_t3_loop_matches_repeated_steps(monkeypatch):
+    """The transposed-G carry loop (state tendencies staying (Z,Y,X) across
+    fori_loop iterations) is bitwise-identical to repeated time_step calls:
+    the layout transposes are exact permutes and the kernel sees identical
+    block values either way."""
+    import dataclasses
+
+    import jax
+
+    from gb25_tpu.models import loop, time_step
+    from gb25_tpu.models.hydrostatic import _g_t3_ok
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    cfg = dataclasses.replace(baroclinic_instability_config(), kernels="zslab")
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    assert _g_t3_ok(cfg, grid, state, None)
+
+    s_ref = state
+    step = jax.jit(time_step)
+    for _ in range(3):
+        s_ref = step(cfg, grid, s_ref, 60.0)
+    s_lp = jax.jit(loop, static_argnames="n")(cfg, grid, state, 60.0, 3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_lp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # kill switch falls back to the plain loop (still equal)
+    monkeypatch.setenv("GB25_G_T3", "0")
+    assert not _g_t3_ok(cfg, grid, state, None)
+    s_lp0 = jax.jit(loop, static_argnames="n")(cfg, grid, state, 60.0, 3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_lp), jax.tree_util.tree_leaves(s_lp0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
