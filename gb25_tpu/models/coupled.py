@@ -104,15 +104,38 @@ def compute_interface_fluxes(ccfg: CoupledConfig, grid, atmos, state, comm=None)
     return fluxes, {"Q_net": Q_net, **turb}
 
 
-def coupled_time_step(ccfg: CoupledConfig, grid, atmos, state, dt, comm=None):
+def coupled_time_step(ccfg: CoupledConfig, grid, atmos, state, dt, comm=None,
+                      g_t3=False):
     """One coupled step: interface fluxes, ocean hydrostatic step, then the
-    freezing limiter (ClimaOcean: above_freezing_ocean_temperature!)."""
+    freezing limiter (ClimaOcean: above_freezing_ocean_temperature!).
+
+    ``g_t3``: transposed-G carry (see models.hydrostatic.loop) — only
+    ``coupled_loop`` sets it."""
     fluxes, _ = compute_interface_fluxes(ccfg, grid, atmos, state, comm)
-    state = time_step(ccfg.ocean, grid, state, dt, comm, surface_fluxes=fluxes)
+    state = time_step(ccfg.ocean, grid, state, dt, comm, surface_fluxes=fluxes,
+                      g_t3=g_t3)
     return limit_ocean_temperature(ccfg.sea_ice, state)
 
 
 def coupled_loop(ccfg, grid, atmos, state, dt, n, comm=None):
+    from gb25_tpu.models.hydrostatic import _g_t3_ok
+
+    if _g_t3_ok(ccfg.ocean, grid, state, comm):
+        # transposed-G carry across the coupled loop (the climate fast
+        # path): the stored tendencies stay in the kernel's (Z, Y, X)
+        # layout between iterations — see models.hydrostatic.loop
+        def t3(a):
+            return jnp.transpose(a, (2, 1, 0))
+
+        def t3g(s):
+            return s.replace(Gu=t3(s.Gu), Gv=t3(s.Gv),
+                             Gtracers={k: t3(v) for k, v in s.Gtracers.items()})
+
+        def body(_, s):
+            return coupled_time_step(ccfg, grid, atmos, s, dt, comm, g_t3=True)
+
+        return t3g(jax.lax.fori_loop(0, n, body, t3g(state)))
+
     def body(_, s):
         return coupled_time_step(ccfg, grid, atmos, s, dt, comm)
 

@@ -290,6 +290,8 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     diffusivities = None
     G_e_source = None
     G_eps_source = None
+    G_e_source_t3 = None  # (Z,Y,X) copies for the transposed-G carry (g_t3)
+    G_eps_source_t3 = None
     t3ops = None  # transposed kernel operands, shared CATKE-kernel <-> z-slab
     if isinstance(cfg.closure, CATKEVerticalDiffusivity):
         from gb25_tpu.ops.pallas_catke import (
@@ -320,6 +322,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                 t3_outputs=True,
             )
             Ge_i = jnp.transpose(Ge_t, (2, 1, 0))  # G_e feeds (X,Y,Z) sums
+            G_e_source_t3 = Ge_t  # transposed-G carry increments (g_t3)
             kappas_t3 = True
         elif use_ck:
             # exchanged fields (sharded) or array-tendency runs: transpose
@@ -330,6 +333,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                 t3_outputs=True,
             )
             Ge_i = jnp.transpose(Ge_t, (2, 1, 0))
+            G_e_source_t3 = Ge_t
             kappas_t3 = True
         else:
             be = buoyancy_field(cfg, grid, tr_e)
@@ -363,6 +367,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             )
             G_e_source = jnp.transpose(Ge_t, (2, 1, 0))
             G_eps_source = jnp.transpose(Geps_t, (2, 1, 0))
+            G_e_source_t3, G_eps_source_t3 = Ge_t, Geps_t
             kappas_t3 = True
         else:
             ku, kc, ke, keps, G_e_ext, G_eps_ext = keps_diffusivities(
@@ -625,49 +630,79 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         u_upd, v_upd, tr_upd = updated
         tr_upd = dict(tr_upd)
 
+    # transposed-G carry (g_t3): the G arrays here are (Z, Y, X) while the
+    # updated fields stay (X, Y, Z) — each increment is applied in the
+    # layout of its target (the transposes of the thin/elementwise
+    # increments are cheap or free; the POINT is that the big G arrays
+    # themselves never transpose)
+    def _T(a):
+        return jnp.transpose(a, (2, 1, 0))
+
     if G_e_source is not None:
-        Gtr["e"] = Gtr["e"] + G_e_source
+        Gtr["e"] = Gtr["e"] + (
+            (G_e_source_t3 if G_e_source_t3 is not None else _T(G_e_source))
+            if g_t3 else G_e_source
+        )
         if updated is not None:
             tr_upd["e"] = tr_upd["e"] + dtc1 * G_e_source
     if G_eps_source is not None:
-        Gtr["eps"] = Gtr["eps"] + G_eps_source
+        Gtr["eps"] = Gtr["eps"] + (
+            (G_eps_source_t3 if G_eps_source_t3 is not None else _T(G_eps_source))
+            if g_t3 else G_eps_source
+        )
         if updated is not None:
             tr_upd["eps"] = tr_upd["eps"] + dtc1 * G_eps_source
 
     if restoring is not None:
         for name, (target, rate) in restoring.items():
             inc = rate * (target - state.tracers[name])
-            Gtr[name] = Gtr[name] + inc
+            Gtr[name] = Gtr[name] + (_T(inc) if g_t3 else inc)
             if updated is not None:
                 tr_upd[name] = tr_upd[name] + dtc1 * inc
 
     if surface_fluxes is not None:
         hz, Nz = grid.hz, grid.Nz
         dz_top = grid.dz_c[0, 0, hz + Nz - 1]
+
+        def top_inc(fa, like, t3):
+            # deposit fa into the top cell: z is axis 2 (X,Y,Z) or axis 0 (t3)
+            if t3:
+                return jnp.concatenate(
+                    [jnp.zeros_like(like[:-1]), jnp.transpose(fa, (1, 0))[None]],
+                    axis=0)
+            return jnp.concatenate(
+                [jnp.zeros_like(like[:, :, :-1]), fa[:, :, None]], axis=2)
+
         for name, flux in surface_fluxes.items():
-            add = (flux / dz_top)[:, :, None]
-            pad = jnp.zeros_like(Gu[:, :, :-1])
-            inc = jnp.concatenate([pad, add], axis=2)
+            fa = flux / dz_top
+            tgt_G = Gu if name == "u" else (Gv if name == "v" else Gtr[name])
+            incG = top_inc(fa, tgt_G, g_t3)
+            if updated is not None:
+                tgt_U = (u_upd if name == "u"
+                         else (v_upd if name == "v" else tr_upd[name]))
+                incU = top_inc(fa, tgt_U, False) if g_t3 else incG
             if name == "u":
-                Gu = Gu + inc
+                Gu = Gu + incG
                 if updated is not None:
-                    u_upd = u_upd + dtc1 * inc
+                    u_upd = u_upd + dtc1 * incU
             elif name == "v":
-                Gv = Gv + inc
+                Gv = Gv + incG
                 if updated is not None:
-                    v_upd = v_upd + dtc1 * inc
+                    v_upd = v_upd + dtc1 * incU
             else:
-                Gtr[name] = Gtr[name] + inc
+                Gtr[name] = Gtr[name] + incG
                 if updated is not None:
-                    tr_upd[name] = tr_upd[name] + dtc1 * inc
+                    tr_upd[name] = tr_upd[name] + dtc1 * incU
 
     if grid.immersed:
         # the stored G feeds next step's dt*c2 term masked, and the fused
         # update must land at 0 on solid faces exactly like the unfused path
         # (state.u is stage-1 masked and masked-G updates keep it 0 there)
         um, vm = grid.interior(u_mask_e), grid.interior(v_mask_e)
-        Gu = Gu * um
-        Gv = Gv * vm
+        # the masks are broadcast-computed from 2-D bathymetry, so XLA emits
+        # the transposed variant directly (no extra pass)
+        Gu = Gu * (_T(um) if g_t3 else um)
+        Gv = Gv * (_T(vm) if g_t3 else vm)
         if updated is not None:
             u_upd = u_upd * um
             v_upd = v_upd * vm
@@ -899,20 +934,24 @@ def loop(cfg, grid, state, dt, n, comm=None):
 
 
 def _g_t3_ok(cfg, grid, state, comm):
-    """Transposed-G carry eligibility: the fused-AB2 kernel path with no
-    post-kernel G consumer other than the v wall mask (whose y axis rides
-    dimension 1 in both layouts). Kill switch: GB25_G_T3=0."""
+    """Transposed-G carry eligibility: the fused-AB2 kernel path. Every
+    post-kernel G consumer handles the (Z, Y, X) layout: the v wall mask
+    acts on axis 1 (y in both layouts), and the closure/flux/restoring
+    increments are applied per-layout (see compute_tendencies). Kill
+    switch: GB25_G_T3=0."""
     import os
 
+    from gb25_tpu.models.catke import CATKEVerticalDiffusivity
+    from gb25_tpu.models.keps import TKEDissipationVerticalDiffusivity
     from gb25_tpu.ops.pallas_zslab import zslab_supported
 
     return (
         bool(int(os.environ.get("GB25_G_T3", "1")))
         and comm is None
         and cfg.compute_dtype is None
-        and cfg.closure is None
-        and not grid.immersed
-        and not getattr(grid, "north_fold", False)
+        and (cfg.closure is None
+             or isinstance(cfg.closure, (CATKEVerticalDiffusivity,
+                                         TKEDissipationVerticalDiffusivity)))
         and grid.Nx % 128 == 0  # xtail == 0: prev-G blocks feed unpadded
         and isinstance(cfg.free_surface, SplitExplicitFreeSurface)
         and (

@@ -140,3 +140,34 @@ def test_keps_step_kernel_vs_array(monkeypatch):
         a, b = np.asarray(a), np.asarray(b)
         assert np.isfinite(b).all()
         np.testing.assert_allclose(b, a, rtol=1e-3, atol=5e-6)
+
+
+def test_g_t3_coupled_loop_matches_repeated_steps(monkeypatch):
+    """Transposed-G carry across the coupled climate loop: bitwise-identical
+    to repeated coupled_time_step calls (increments applied per-layout)."""
+    import jax
+
+    from gb25_tpu.models.coupled import (
+        coupled_loop,
+        coupled_time_step,
+        data_free_ocean_climate_model,
+    )
+    from gb25_tpu.models.hydrostatic import _g_t3_ok
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    ccfg, grid, atmos, state = data_free_ocean_climate_model(
+        resolution=3.0, Nz=4, dtype=jnp.float32,
+        grid_type="gaussian_islands_tripolar",
+    )
+    ccfg = dataclasses.replace(
+        ccfg, ocean=dataclasses.replace(ccfg.ocean, kernels="zslab"))
+    assert grid.Nx % 128 == 0 and _g_t3_ok(ccfg.ocean, grid, state, None)
+
+    step = jax.jit(coupled_time_step)  # jit both sides: eager-vs-jit CPU
+    s_ref = state                      # fusion noise is not what's under test
+    for _ in range(3):
+        s_ref = step(ccfg, grid, atmos, s_ref, 30.0)
+    s_lp = jax.jit(coupled_loop, static_argnames="n")(
+        ccfg, grid, atmos, state, 30.0, 3)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_lp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
