@@ -80,11 +80,25 @@ def main():
     # the (possibly pre-regridded, ocean-sized) records into the IR as
     # constants — hundreds of MB at the flagship grid
     def climate_loop(ccfg_, grid_, atmos_, restoring_, s, dt, n):
+        from gb25_tpu.models.hydrostatic import _g_t3_ok
+
+        g_t3 = _g_t3_ok(ccfg_.ocean, grid_, s, None)
+
         def body(_, ss):
             fluxes, _diag = compute_interface_fluxes(ccfg_, grid_, atmos_, ss)
             return time_step(ccfg_.ocean, grid_, ss, dt, surface_fluxes=fluxes,
-                             restoring=restoring_)
+                             restoring=restoring_, g_t3=g_t3)
 
+        if g_t3:  # transposed-G carry (see models.hydrostatic.loop)
+            import jax.numpy as jnp
+
+            def t3g(ss):
+                t3 = lambda a: jnp.transpose(a, (2, 1, 0))
+                return ss.replace(
+                    Gu=t3(ss.Gu), Gv=t3(ss.Gv),
+                    Gtracers={k: t3(v) for k, v in ss.Gtracers.items()})
+
+            return t3g(jax.lax.fori_loop(0, n, body, t3g(s)))
         return jax.lax.fori_loop(0, n, body, s)
 
     _jloop = jax.jit(climate_loop, static_argnames="n")

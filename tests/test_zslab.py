@@ -556,3 +556,34 @@ def test_g_t3_loop_matches_repeated_steps(monkeypatch):
     s_lp0 = jax.jit(loop, static_argnames="n")(cfg, grid, state, 60.0, 3)
     for a, b in zip(jax.tree_util.tree_leaves(s_lp), jax.tree_util.tree_leaves(s_lp0)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_g_t3_restoring_increment_matches(monkeypatch):
+    """The restoring G-increment applied in the transposed layout (g_t3)
+    equals the untransposed path bitwise (single step, direct call)."""
+    import dataclasses
+
+    import jax
+
+    from gb25_tpu.models import time_step
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    cfg = dataclasses.replace(baroclinic_instability_config(), kernels="zslab")
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    target = jnp.full(grid.shape, 20.0, jnp.float32)
+    res = {"T": (target, jnp.float32(1e-5))}
+
+    def t3(a):
+        return jnp.transpose(a, (2, 1, 0))
+
+    def t3g(s):
+        return s.replace(Gu=t3(s.Gu), Gv=t3(s.Gv),
+                         Gtracers={k: t3(v) for k, v in s.Gtracers.items()})
+
+    step = jax.jit(lambda s: time_step(cfg, grid, s, 60.0, restoring=res))
+    step_t3 = jax.jit(
+        lambda s: t3g(time_step(cfg, grid, t3g(s), 60.0, restoring=res, g_t3=True)))
+    a, b = step(state), step_t3(state)
+    for xa, xb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
