@@ -364,11 +364,14 @@ def tripolar_grid(
 # North-fold halo exchange (single device)
 # ---------------------------------------------------------------------------
 
-def _fold_x(a, p, face: bool):
-    """x-index fold: centers i -> (2p - i) mod Nx; x-faces i -> (2p+1-i) mod Nx."""
-    flipped = jnp.flip(a, axis=0)  # index i -> Nx-1-i
+def _fold_x(a, p, face: bool, axis: int = 0):
+    """x-index fold: centers i -> (2p - i) mod Nx; x-faces i -> (2p+1-i) mod Nx.
+
+    ``axis``: which array axis is x (0 for (X, ...) rows; 1 for transposed
+    (Z, X) rows from the kernel-layout fast path)."""
+    flipped = jnp.flip(a, axis=axis)  # index i -> Nx-1-i
     shift = (2 * p + (2 if face else 1))
-    return jnp.roll(flipped, shift, axis=0)
+    return jnp.roll(flipped, shift, axis=axis)
 
 
 def fold_ghosts_north(a, h: int, kind: str, p: int):
@@ -417,18 +420,23 @@ def extend_field_tripolar(grid, a, kind: str, hx: int, hy: int):
     return e
 
 
-def north_fold_projection(grid, u, v, eta, tracers):
+def north_fold_projection(grid, u, v, eta, tracers, tracers_t3=False):
     """Enforce the T-pivot self-consistency on the seam row (NEMO lbc_lnk
-    analog): the last center row is its own mirror image."""
+    analog): the last center row is its own mirror image.
+
+    ``tracers_t3``: the tracer arrays arrive in the kernel's transposed
+    (Z, Y, X) layout (the fused-update fast path keeps them transposed all
+    the way into the implicit solves); y is axis 1 either way, only the
+    row's x axis moves."""
     p = grid.pole_index
     P = grid.Ny - 1
 
     # fold the seam ROW only (one (Nx, Nz) slab), not the full array: the
     # x-fold commutes with the row slice, and folding first costs two
     # full-array passes per field
-    def sym_center(c):
+    def sym_center(c, xaxis=0):
         row = c[:, P]
-        return c.at[:, P].set(0.5 * (row + _fold_x(row, p, face=False)))
+        return c.at[:, P].set(0.5 * (row + _fold_x(row, p, face=False, axis=xaxis)))
 
     def asym_u(uu):
         row = uu[:, P]
@@ -436,7 +444,8 @@ def north_fold_projection(grid, u, v, eta, tracers):
 
     u = asym_u(u)
     eta = sym_center(eta)
-    tracers = {k: sym_center(c) for k, c in tracers.items()}
+    tracers = {k: sym_center(c, xaxis=1 if tracers_t3 else 0)
+               for k, c in tracers.items()}
     # v's seam face (j = P) pairs with face P+1 on the mirror — both interior
     # representations stay; no pivot-row constraint applies to v itself.
     return u, v, eta, tracers

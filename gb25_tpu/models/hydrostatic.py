@@ -449,6 +449,10 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             "lowering use compute_dtype='bfloat16'"
         )
     storage = jnp.bfloat16 if cfg.compute_dtype == "bf16s" else None
+    # transposed updated-tracer handoff: with the transposed-G carry active
+    # and a closure whose implicit solves consume transposed fields anyway,
+    # the kernel's updated tracers skip the un-transpose + re-transpose pair
+    upd_tr_t3 = g_t3 and diffusivities is not None
     # Comm/compute overlap on the kernel path (VERDICT r2 missing #1): under
     # shard_map, feed the big z-slab kernel the LOCAL-ONLY extension — its
     # HLO has no data dependence on any ppermute, so XLA's latency-hiding
@@ -517,7 +521,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         res = zslab_tendencies(
             cfg, grid_c, f_c, ue_k, ve_k, tr_k, x_wrap=(comm is None), ab2=ab2,
             raw_fields=raw, storage_dtype=storage, t3_operands=t3ops,
-            g_t3=g_t3,
+            g_t3=g_t3, upd_tr_t3=upd_tr_t3,
         )
         if ab2 is not None:
             Gu, Gv, Gtr, u_upd, v_upd, tr_upd = res
@@ -638,27 +642,30 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     def _T(a):
         return jnp.transpose(a, (2, 1, 0))
 
+    def _g_src(src_i, src_t3, want_t3):
+        if not want_t3:
+            return src_i
+        return src_t3 if src_t3 is not None else _T(src_i)
+
     if G_e_source is not None:
-        Gtr["e"] = Gtr["e"] + (
-            (G_e_source_t3 if G_e_source_t3 is not None else _T(G_e_source))
-            if g_t3 else G_e_source
-        )
+        Gtr["e"] = Gtr["e"] + _g_src(G_e_source, G_e_source_t3, g_t3)
         if updated is not None:
-            tr_upd["e"] = tr_upd["e"] + dtc1 * G_e_source
+            tr_upd["e"] = tr_upd["e"] + dtc1 * _g_src(
+                G_e_source, G_e_source_t3, upd_tr_t3)
     if G_eps_source is not None:
-        Gtr["eps"] = Gtr["eps"] + (
-            (G_eps_source_t3 if G_eps_source_t3 is not None else _T(G_eps_source))
-            if g_t3 else G_eps_source
-        )
+        Gtr["eps"] = Gtr["eps"] + _g_src(G_eps_source, G_eps_source_t3, g_t3)
         if updated is not None:
-            tr_upd["eps"] = tr_upd["eps"] + dtc1 * G_eps_source
+            tr_upd["eps"] = tr_upd["eps"] + dtc1 * _g_src(
+                G_eps_source, G_eps_source_t3, upd_tr_t3)
 
     if restoring is not None:
         for name, (target, rate) in restoring.items():
             inc = rate * (target - state.tracers[name])
-            Gtr[name] = Gtr[name] + (_T(inc) if g_t3 else inc)
+            inc_t = _T(inc) if (g_t3 or upd_tr_t3) else None
+            Gtr[name] = Gtr[name] + (inc_t if g_t3 else inc)
             if updated is not None:
-                tr_upd[name] = tr_upd[name] + dtc1 * inc
+                tr_upd[name] = tr_upd[name] + dtc1 * (
+                    inc_t if upd_tr_t3 else inc)
 
     if surface_fluxes is not None:
         hz, Nz = grid.hz, grid.Nz
@@ -680,7 +687,8 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             if updated is not None:
                 tgt_U = (u_upd if name == "u"
                          else (v_upd if name == "v" else tr_upd[name]))
-                incU = top_inc(fa, tgt_U, False) if g_t3 else incG
+                u_t3 = upd_tr_t3 and name not in ("u", "v")
+                incU = incG if u_t3 == g_t3 else top_inc(fa, tgt_U, u_t3)
             if name == "u":
                 Gu = Gu + incG
                 if updated is not None:
@@ -791,6 +799,10 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
 
     v_new = mask_v_wall(grid, v_new, comm)
 
+    # with the transposed-G carry + a closure, the kernel's updated tracers
+    # stay (Z, Y, X) all the way into the implicit solves
+    tr_t3 = g_t3 and diffusivities is not None and updated is not None
+
     if getattr(grid, "north_fold", False):
         # enforce the T-pivot seam self-consistency (NEMO lbc_lnk analog)
         if comm is not None:
@@ -802,7 +814,8 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         else:
             from gb25_tpu.grids.tripolar import north_fold_projection
 
-            u_new, v_new, eta, tracers = north_fold_projection(grid, u_new, v_new, eta, tracers)
+            u_new, v_new, eta, tracers = north_fold_projection(
+                grid, u_new, v_new, eta, tracers, tracers_t3=tr_t3)
 
     if grid.immersed:
         # re-mask after the barotropic correction touched full columns
@@ -838,13 +851,23 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
             tridiag_supported,
         )
 
-        if not tridiag_supported((u_new, v_new), ku, dzc, dzf, kappa_t3=kt3) and kt3:
-            # scan-path fallback wants (X, Y, Z) kappas
-            un_t3 = lambda a: None if a is None else jnp.transpose(a, (2, 1, 0))
-            ku, kc = un_t3(ku), un_t3(kc)
-            special = {k: un_t3(v) for k, v in special.items()}
-            damping = {k: un_t3(v) for k, v in damping.items()}
-            kt3 = False
+        def un_t3(a):
+            return None if a is None else jnp.transpose(a, (2, 1, 0))
+
+        # one support probe decides the stage's layout: if the Pallas solver
+        # can't run this shape at all, drop every transposed array up front
+        # and take the scan path in the standard (X, Y, Z) layout
+        if (kt3 or tr_t3) and not tridiag_supported(
+            (u_new, v_new), ku, dzc, dzf, kappa_t3=kt3
+        ):
+            if kt3:
+                ku, kc = un_t3(ku), un_t3(kc)
+                special = {k: un_t3(v) for k, v in special.items()}
+                damping = {k: un_t3(v) for k, v in damping.items()}
+                kt3 = False
+            if tr_t3:
+                tracers = {k: un_t3(v) for k, v in tracers.items()}
+                tr_t3 = False
 
         if tridiag_supported((u_new, v_new), ku, dzc, dzf, kappa_t3=kt3):
             u_new, v_new = pallas_implicit_diffusion((u_new, v_new), ku, dt,
@@ -856,10 +879,12 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
                       if special.get(k) is None and damping.get(k) is None)
         tracers = dict(tracers)
         if len(plain) > 1 and tridiag_supported(
-            tuple(tracers[k] for k in plain), kc, dzc, dzf, kappa_t3=kt3
+            tuple(tracers[k] for k in plain), kc, dzc, dzf, kappa_t3=kt3,
+            fields_t3=tr_t3,
         ):
             sols = pallas_implicit_diffusion(
-                tuple(tracers[k] for k in plain), kc, dt, dzc, dzf, kappa_t3=kt3
+                tuple(tracers[k] for k in plain), kc, dt, dzc, dzf,
+                kappa_t3=kt3, fields_t3=tr_t3,
             )
             tracers.update(zip(plain, sols))
             rest = [k for k in tracers if k not in plain]
@@ -868,17 +893,18 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         for k in rest:
             kap_k = special.get(k) if special.get(k) is not None else kc
             damp_k = damping.get(k)
-            if kt3 and tridiag_supported(tracers[k], kap_k, dzc, dzf,
-                                         damping=damp_k, kappa_t3=True):
+            if tridiag_supported(tracers[k], kap_k, dzc, dzf, damping=damp_k,
+                                 kappa_t3=kt3, fields_t3=tr_t3):
                 tracers[k] = pallas_implicit_diffusion(
                     tracers[k], kap_k, dt, dzc, dzf, damping=damp_k,
-                    kappa_t3=True,
+                    kappa_t3=kt3, fields_t3=tr_t3,
                 )
             else:
                 if kt3:
-                    kap_k = jnp.transpose(kap_k, (2, 1, 0))
-                    if damp_k is not None:
-                        damp_k = jnp.transpose(damp_k, (2, 1, 0))
+                    kap_k = un_t3(kap_k)
+                    damp_k = un_t3(damp_k)
+                if tr_t3:
+                    tracers[k] = un_t3(tracers[k])
                 tracers[k] = implicit_vertical_diffusion(
                     tracers[k], kap_k, dt, dzc, dzf, damping=damp_k,
                 )

@@ -48,7 +48,7 @@ def _pick(n, want, quantum):
 
 
 def tridiag_supported(field, kappa_face, dz_c, dz_f, damping=None,
-                      kappa_t3=False) -> bool:
+                      kappa_t3=False, fields_t3=False) -> bool:
     """Gate for the Pallas Thomas kernel: f32 on TPU (or interpret mode),
     full-shape kappa (the closure path), vertical-only dz columns, tileable
     horizontal extents.  ``field`` may be one array or a tuple sharing the
@@ -62,8 +62,9 @@ def tridiag_supported(field, kappa_face, dz_c, dz_f, damping=None,
     ):
         return False
     fields = field if isinstance(field, (tuple, list)) else (field,)
-    shape = fields[0].shape
-    kshape = shape[::-1] if kappa_t3 else shape
+    shape = fields[0].shape            # physical layout of the field arrays
+    lshape = shape[::-1] if fields_t3 else shape  # logical (X, Y, Z)
+    kshape = lshape[::-1] if kappa_t3 else lshape
     for f in fields:
         if f.dtype != jnp.float32 or f.shape != shape:
             return False
@@ -71,7 +72,7 @@ def tridiag_supported(field, kappa_face, dz_c, dz_f, damping=None,
         return False
     if damping is not None and getattr(damping, "shape", ()) != kshape:
         return False
-    X, Y, Z = shape
+    X, Y, Z = lshape
     if Z > 128:
         return False  # unrolled sweeps; deeper columns take the scan path
     for dz in (dz_c, dz_f):
@@ -85,7 +86,7 @@ def tridiag_supported(field, kappa_face, dz_c, dz_f, damping=None,
 
 def pallas_implicit_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None,
                               bx=None, by=None, interpret=False,
-                              kappa_t3=False):
+                              kappa_t3=False, fields_t3=False):
     """Backward-Euler vertical diffusion solve, one HBM pass.
 
     Same contract as ops.tridiagonal.implicit_vertical_diffusion restricted
@@ -100,7 +101,7 @@ def pallas_implicit_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None,
     single = not isinstance(field, (tuple, list))
     fields = (field,) if single else tuple(field)
     nf = len(fields)
-    X, Y, Z = fields[0].shape
+    X, Y, Z = (fields[0].shape[::-1] if fields_t3 else fields[0].shape)
     dtype = fields[0].dtype
     # modest tiles: the unrolled sweeps keep several live planes per level,
     # and (Z, by, bx) blocks count against Mosaic's scoped-vmem stack
@@ -127,7 +128,8 @@ def pallas_implicit_diffusion(field, kappa_face, dt, dz_c, dz_f, damping=None,
 
     has_damp = damping is not None
     tk = (lambda a: a) if kappa_t3 else t2  # kappa may arrive pre-transposed
-    operands = [t2(f) for f in fields] + [tk(kappa_face)]
+    tf = (lambda a: a) if fields_t3 else t2  # fields too (fused-update path)
+    operands = [tf(f) for f in fields] + [tk(kappa_face)]
     if has_damp:
         operands.append(tk(damping))
     n_in = len(operands)

@@ -214,7 +214,8 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
 
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                      interpret=False, x_wrap=True, ab2=None, raw_fields=None,
-                     storage_dtype=None, t3_operands=None, g_t3=False):
+                     storage_dtype=None, t3_operands=None, g_t3=False,
+                     upd_tr_t3=False):
     """Fused tendency stage with transposed z-slab streaming.
 
     Requires hz >= 3 and Nz % bz == 0. Returns interior (Gu, Gv, {Gc}).
@@ -661,5 +662,8 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     if ab2 is None:
         return Gu, Gv, Gtr
     u_new, v_new = t3o(outs[n_prog]), t3o(outs[n_prog + 1])
-    tr_new = {name: t3o(outs[n_prog + 2 + t]) for t, name in enumerate(tracer_names)}
+    # transposed updated-tracer handoff: the implicit vertical solves
+    # (ops/pallas_tridiag.py) consume the tracers transposed anyway
+    t3u = (lambda o: o) if upd_tr_t3 else t3o
+    tr_new = {name: t3u(outs[n_prog + 2 + t]) for t, name in enumerate(tracer_names)}
     return Gu, Gv, Gtr, u_new, v_new, tr_new
