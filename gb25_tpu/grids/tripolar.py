@@ -420,14 +420,15 @@ def extend_field_tripolar(grid, a, kind: str, hx: int, hy: int):
     return e
 
 
-def north_fold_projection(grid, u, v, eta, tracers, tracers_t3=False):
+def north_fold_projection(grid, u, v, eta, tracers, tracers_t3=False,
+                          uv_t3=False):
     """Enforce the T-pivot self-consistency on the seam row (NEMO lbc_lnk
     analog): the last center row is its own mirror image.
 
-    ``tracers_t3``: the tracer arrays arrive in the kernel's transposed
-    (Z, Y, X) layout (the fused-update fast path keeps them transposed all
-    the way into the implicit solves); y is axis 1 either way, only the
-    row's x axis moves."""
+    ``tracers_t3`` / ``uv_t3``: the tracer / velocity arrays arrive in the
+    kernel's transposed (Z, Y, X) layout (the fused-update fast path keeps
+    them transposed all the way into the implicit solves); y is axis 1
+    either way, only the row's x axis moves."""
     p = grid.pole_index
     P = grid.Ny - 1
 
@@ -438,11 +439,11 @@ def north_fold_projection(grid, u, v, eta, tracers, tracers_t3=False):
         row = c[:, P]
         return c.at[:, P].set(0.5 * (row + _fold_x(row, p, face=False, axis=xaxis)))
 
-    def asym_u(uu):
+    def asym_u(uu, xaxis=0):
         row = uu[:, P]
-        return uu.at[:, P].set(0.5 * (row - _fold_x(row, p, face=True)))
+        return uu.at[:, P].set(0.5 * (row - _fold_x(row, p, face=True, axis=xaxis)))
 
-    u = asym_u(u)
+    u = asym_u(u, xaxis=1 if uv_t3 else 0)
     eta = sym_center(eta)
     tracers = {k: sym_center(c, xaxis=1 if tracers_t3 else 0)
                for k, c in tracers.items()}

@@ -66,7 +66,8 @@ def _metrics2(grid, h=1):
     return sl2(grid.dxc), sl2(grid.dxf), sl2(grid.dyc), sl2(grid.dyf), sl2(grid.azc)
 
 
-def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=None):
+def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
+                       comm=None, uv_t3=False):
     """Run the split-explicit barotropic solve; returns (eta_new, u_new, v_new).
 
     u_star/v_star: baroclinic AB2-updated velocities (no eta gradient force).
@@ -93,12 +94,17 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
     def zint(a):
         return jnp.sum(a * dz, axis=2)
 
+    def zint_t3(a):  # transposed (Z, Y, X) field -> (X, Y) integral
+        dzt = jnp.transpose(dz, (2, 1, 0))
+        return jnp.transpose(jnp.sum(a * dzt, axis=0), (1, 0))
+
+    zint_u = zint_t3 if uv_t3 else zint
     U0, V0 = zint(state.u), zint(state.v)
     if Gu_ab is None:
         # kernel-fused AB2 path: u* = u + dt*G_ab was computed in-kernel, so
         # zint(G_ab) = (zint(u*) - U0) / dt — no G_ab array exists
-        GU = (zint(u_star) - U0) / dt
-        GV = (zint(v_star) - V0) / dt
+        GU = (zint_u(u_star) - U0) / dt
+        GV = (zint_u(v_star) - V0) / dt
     else:
         GU, GV = zint(Gu_ab), zint(Gv_ab)
 
@@ -185,7 +191,7 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
             interior(Hu_e), interior(Hv_e), dt,
         )
         return _finish(grid, state, u_star, v_star, eta_b, U_b, V_b,
-                       interior(Hu_e), interior(Hv_e))
+                       interior(Hu_e), interior(Hv_e), uv_t3=uv_t3)
 
     n_masks = 0 if maskU_e is None else 2
     use_blocked_kernel = cfg.kernels in ("auto", "zslab") and (
@@ -244,25 +250,36 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm=
         m += block
 
     return _finish(grid, state, u_star, v_star, eta_b, U_b, V_b,
-                   interior(Hu_e), interior(Hv_e))
+                   interior(Hu_e), interior(Hv_e), uv_t3=uv_t3)
 
 
-def _finish(grid, state, u_star, v_star, eta_b, U_b, V_b, Hu, Hv):
+def _finish(grid, state, u_star, v_star, eta_b, U_b, V_b, Hu, Hv, uv_t3=False):
     # barotropic correction: replace the depth mean of (u*, v*) with the
     # filtered barotropic transport (reference:
     # correct_velocities_and_cache_previous_tendencies!, precompile.jl:41)
+    # uv_t3: u*/v* arrive AND leave transposed (Z, Y, X) — the correction is
+    # a 2-D broadcast, so only the thin plane quantities transpose
     hz, Nz = grid.hz, grid.Nz
     dz = grid.dz_c[:, :, hz : hz + Nz]
 
     def zint(a):
         return jnp.sum(a * dz, axis=2)
 
+    def zint_t3(a):
+        dzt = jnp.transpose(dz, (2, 1, 0))
+        return jnp.transpose(jnp.sum(a * dzt, axis=0), (1, 0))
+
+    zint_u = zint_t3 if uv_t3 else zint
     Hu_safe = jnp.maximum(Hu, 1e-30)
     Hv_safe = jnp.maximum(Hv, 1e-30)
-    du = (U_b - zint(u_star)) / Hu_safe
-    dv = (V_b - zint(v_star)) / Hv_safe
-    u_new = u_star + du[:, :, None]
-    v_new = v_star + dv[:, :, None]
+    du = (U_b - zint_u(u_star)) / Hu_safe
+    dv = (V_b - zint_u(v_star)) / Hv_safe
+    if uv_t3:
+        u_new = u_star + jnp.transpose(du, (1, 0))[None]
+        v_new = v_star + jnp.transpose(dv, (1, 0))[None]
+    else:
+        u_new = u_star + du[:, :, None]
+        v_new = v_star + dv[:, :, None]
     return eta_b, u_new, v_new
 
 

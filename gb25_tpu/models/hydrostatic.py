@@ -449,10 +449,11 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             "lowering use compute_dtype='bfloat16'"
         )
     storage = jnp.bfloat16 if cfg.compute_dtype == "bf16s" else None
-    # transposed updated-tracer handoff: with the transposed-G carry active
+    # transposed updated-field handoff: with the transposed-G carry active
     # and a closure whose implicit solves consume transposed fields anyway,
-    # the kernel's updated tracers skip the un-transpose + re-transpose pair
-    upd_tr_t3 = g_t3 and diffusivities is not None
+    # the kernel's updated fields skip the un-transpose + re-transpose pair
+    # (u/v additionally pass through a transposed-aware barotropic stage)
+    upd_t3 = g_t3 and diffusivities is not None
     # Comm/compute overlap on the kernel path (VERDICT r2 missing #1): under
     # shard_map, feed the big z-slab kernel the LOCAL-ONLY extension — its
     # HLO has no data dependence on any ppermute, so XLA's latency-hiding
@@ -521,7 +522,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         res = zslab_tendencies(
             cfg, grid_c, f_c, ue_k, ve_k, tr_k, x_wrap=(comm is None), ab2=ab2,
             raw_fields=raw, storage_dtype=storage, t3_operands=t3ops,
-            g_t3=g_t3, upd_tr_t3=upd_tr_t3,
+            g_t3=g_t3, upd_t3=upd_t3,
         )
         if ab2 is not None:
             Gu, Gv, Gtr, u_upd, v_upd, tr_upd = res
@@ -651,21 +652,21 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         Gtr["e"] = Gtr["e"] + _g_src(G_e_source, G_e_source_t3, g_t3)
         if updated is not None:
             tr_upd["e"] = tr_upd["e"] + dtc1 * _g_src(
-                G_e_source, G_e_source_t3, upd_tr_t3)
+                G_e_source, G_e_source_t3, upd_t3)
     if G_eps_source is not None:
         Gtr["eps"] = Gtr["eps"] + _g_src(G_eps_source, G_eps_source_t3, g_t3)
         if updated is not None:
             tr_upd["eps"] = tr_upd["eps"] + dtc1 * _g_src(
-                G_eps_source, G_eps_source_t3, upd_tr_t3)
+                G_eps_source, G_eps_source_t3, upd_t3)
 
     if restoring is not None:
         for name, (target, rate) in restoring.items():
             inc = rate * (target - state.tracers[name])
-            inc_t = _T(inc) if (g_t3 or upd_tr_t3) else None
+            inc_t = _T(inc) if (g_t3 or upd_t3) else None
             Gtr[name] = Gtr[name] + (inc_t if g_t3 else inc)
             if updated is not None:
                 tr_upd[name] = tr_upd[name] + dtc1 * (
-                    inc_t if upd_tr_t3 else inc)
+                    inc_t if upd_t3 else inc)
 
     if surface_fluxes is not None:
         hz, Nz = grid.hz, grid.Nz
@@ -687,8 +688,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             if updated is not None:
                 tgt_U = (u_upd if name == "u"
                          else (v_upd if name == "v" else tr_upd[name]))
-                u_t3 = upd_tr_t3 and name not in ("u", "v")
-                incU = incG if u_t3 == g_t3 else top_inc(fa, tgt_U, u_t3)
+                incU = incG if upd_t3 == g_t3 else top_inc(fa, tgt_U, upd_t3)
             if name == "u":
                 Gu = Gu + incG
                 if updated is not None:
@@ -712,8 +712,8 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         Gu = Gu * (_T(um) if g_t3 else um)
         Gv = Gv * (_T(vm) if g_t3 else vm)
         if updated is not None:
-            u_upd = u_upd * um
-            v_upd = v_upd * vm
+            u_upd = u_upd * (_T(um) if upd_t3 else um)
+            v_upd = v_upd * (_T(vm) if upd_t3 else vm)
     Gv = mask_v_wall(grid, Gv, comm)
     if updated is not None:
         updated = (u_upd, v_upd, tr_upd)
@@ -775,6 +775,11 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         cfg, grid, state, comm, surface_fluxes, restoring, ab2=ab2, g_t3=g_t3
     )
 
+    # with the transposed-G carry + a closure, the kernel's updated fields
+    # stay (Z, Y, X) through the barotropic correction and the increments,
+    # all the way into the implicit solves (which want that layout anyway)
+    upd_t3 = g_t3 and diffusivities is not None and updated is not None
+
     if updated is not None:
         u_star, v_star, tracers = updated
         # the in-kernel update used the unmasked Gv; restore the wall row
@@ -791,7 +796,8 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
 
     if isinstance(cfg.free_surface, SplitExplicitFreeSurface):
         eta, u_new, v_new = barotropic_substep(
-            cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm
+            cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm,
+            uv_t3=upd_t3,
         )
     else:
         eta = state.eta + dt * (c1 * Geta + c2 * state.Geta)
@@ -799,9 +805,7 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
 
     v_new = mask_v_wall(grid, v_new, comm)
 
-    # with the transposed-G carry + a closure, the kernel's updated tracers
-    # stay (Z, Y, X) all the way into the implicit solves
-    tr_t3 = g_t3 and diffusivities is not None and updated is not None
+    tr_t3 = upd_t3  # tracers share the updated-field layout
 
     if getattr(grid, "north_fold", False):
         # enforce the T-pivot seam self-consistency (NEMO lbc_lnk analog)
@@ -815,13 +819,19 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
             from gb25_tpu.grids.tripolar import north_fold_projection
 
             u_new, v_new, eta, tracers = north_fold_projection(
-                grid, u_new, v_new, eta, tracers, tracers_t3=tr_t3)
+                grid, u_new, v_new, eta, tracers, tracers_t3=tr_t3,
+                uv_t3=upd_t3)
 
     if grid.immersed:
         # re-mask after the barotropic correction touched full columns
+        # (masks are broadcast-computed from 2-D bathymetry: the transposed
+        # variant costs no extra pass)
         from gb25_tpu.grids.immersed import interior_masks
 
         u_mask, v_mask = interior_masks(grid, comm)
+        if upd_t3:
+            u_mask = jnp.transpose(u_mask, (2, 1, 0))
+            v_mask = jnp.transpose(v_mask, (2, 1, 0))
         u_new = u_new * u_mask
         v_new = v_new * v_mask
 
@@ -857,21 +867,24 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         # one support probe decides the stage's layout: if the Pallas solver
         # can't run this shape at all, drop every transposed array up front
         # and take the scan path in the standard (X, Y, Z) layout
-        if (kt3 or tr_t3) and not tridiag_supported(
-            (u_new, v_new), ku, dzc, dzf, kappa_t3=kt3
+        if (kt3 or upd_t3) and not tridiag_supported(
+            (u_new, v_new), ku, dzc, dzf, kappa_t3=kt3, fields_t3=upd_t3
         ):
             if kt3:
                 ku, kc = un_t3(ku), un_t3(kc)
                 special = {k: un_t3(v) for k, v in special.items()}
                 damping = {k: un_t3(v) for k, v in damping.items()}
                 kt3 = False
-            if tr_t3:
+            if upd_t3:
+                u_new, v_new = un_t3(u_new), un_t3(v_new)
                 tracers = {k: un_t3(v) for k, v in tracers.items()}
-                tr_t3 = False
+                upd_t3 = tr_t3 = False
 
-        if tridiag_supported((u_new, v_new), ku, dzc, dzf, kappa_t3=kt3):
-            u_new, v_new = pallas_implicit_diffusion((u_new, v_new), ku, dt,
-                                                     dzc, dzf, kappa_t3=kt3)
+        if tridiag_supported((u_new, v_new), ku, dzc, dzf, kappa_t3=kt3,
+                             fields_t3=upd_t3):
+            u_new, v_new = pallas_implicit_diffusion(
+                (u_new, v_new), ku, dt, dzc, dzf, kappa_t3=kt3,
+                fields_t3=upd_t3)
         else:
             u_new = implicit_vertical_diffusion(u_new, ku, dt, dzc, dzf)
             v_new = implicit_vertical_diffusion(v_new, ku, dt, dzc, dzf)

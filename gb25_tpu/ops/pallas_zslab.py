@@ -215,7 +215,7 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                      interpret=False, x_wrap=True, ab2=None, raw_fields=None,
                      storage_dtype=None, t3_operands=None, g_t3=False,
-                     upd_tr_t3=False):
+                     upd_t3=False):
     """Fused tendency stage with transposed z-slab streaming.
 
     Requires hz >= 3 and Nz % bz == 0. Returns interior (Gu, Gv, {Gc}).
@@ -661,9 +661,12 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     Gtr = {name: t3g(outs[2 + t]) for t, name in enumerate(tracer_names)}
     if ab2 is None:
         return Gu, Gv, Gtr
-    u_new, v_new = t3o(outs[n_prog]), t3o(outs[n_prog + 1])
-    # transposed updated-tracer handoff: the implicit vertical solves
-    # (ops/pallas_tridiag.py) consume the tracers transposed anyway
-    t3u = (lambda o: o) if upd_tr_t3 else t3o
+    # transposed updated-field handoff: the barotropic correction and the
+    # implicit vertical solves (ops/pallas_tridiag.py) consume the updated
+    # fields transposed anyway
+    if upd_t3 and xtail:
+        raise ValueError("upd_t3 requires Nx % 128 == 0 (no wrap tail)")
+    t3u = (lambda o: o) if upd_t3 else t3o
+    u_new, v_new = t3u(outs[n_prog]), t3u(outs[n_prog + 1])
     tr_new = {name: t3u(outs[n_prog + 2 + t]) for t, name in enumerate(tracer_names)}
     return Gu, Gv, Gtr, u_new, v_new, tr_new
