@@ -84,6 +84,32 @@ def main():
                         "grid size from --nx via resolution 384/ (nx/4)")
     args = p.parse_args()
 
+    from gb25_tpu.utils.env import preamble
+
+    preamble()  # platform pin + proxy/XLA-flag sanitization
+
+    # Backend-init watchdog: when the TPU tunnel is down, plugin client
+    # creation blocks forever inside make_c_api_client — fail fast with a
+    # readable error instead of hanging the driver's bench run. Only the
+    # device probe is guarded; compiles may legitimately take minutes.
+    import threading
+
+    devices_up = threading.Event()
+
+    def _watchdog():
+        if not devices_up.wait(timeout=600):
+            import os as _os
+            import sys as _sys
+
+            print("bench.py: jax backend init did not complete within 600 s "
+                  "(TPU tunnel unavailable?) — aborting", file=_sys.stderr,
+                  flush=True)
+            _os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()
+    devices_up.set()
+
     from gb25_tpu.grids import simple_latitude_longitude_grid
     from gb25_tpu.models import (
         baroclinic_instability_config,

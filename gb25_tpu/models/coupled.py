@@ -118,23 +118,16 @@ def coupled_time_step(ccfg: CoupledConfig, grid, atmos, state, dt, comm=None,
 
 
 def coupled_loop(ccfg, grid, atmos, state, dt, n, comm=None):
-    from gb25_tpu.models.hydrostatic import _g_t3_ok
+    from gb25_tpu.models.hydrostatic import _g_t3_ok, g_t3_loop
 
     if _g_t3_ok(ccfg.ocean, grid, state, comm):
         # transposed-G carry across the coupled loop (the climate fast
         # path): the stored tendencies stay in the kernel's (Z, Y, X)
         # layout between iterations — see models.hydrostatic.loop
-        def t3(a):
-            return jnp.transpose(a, (2, 1, 0))
-
-        def t3g(s):
-            return s.replace(Gu=t3(s.Gu), Gv=t3(s.Gv),
-                             Gtracers={k: t3(v) for k, v in s.Gtracers.items()})
-
-        def body(_, s):
-            return coupled_time_step(ccfg, grid, atmos, s, dt, comm, g_t3=True)
-
-        return t3g(jax.lax.fori_loop(0, n, body, t3g(state)))
+        return g_t3_loop(
+            lambda s: coupled_time_step(ccfg, grid, atmos, s, dt, comm,
+                                        g_t3=True),
+            state, n)
 
     def body(_, s):
         return coupled_time_step(ccfg, grid, atmos, s, dt, comm)

@@ -805,7 +805,6 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
 
     v_new = mask_v_wall(grid, v_new, comm)
 
-    tr_t3 = upd_t3  # tracers share the updated-field layout
 
     if getattr(grid, "north_fold", False):
         # enforce the T-pivot seam self-consistency (NEMO lbc_lnk analog)
@@ -819,7 +818,7 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
             from gb25_tpu.grids.tripolar import north_fold_projection
 
             u_new, v_new, eta, tracers = north_fold_projection(
-                grid, u_new, v_new, eta, tracers, tracers_t3=tr_t3,
+                grid, u_new, v_new, eta, tracers, tracers_t3=upd_t3,
                 uv_t3=upd_t3)
 
     if grid.immersed:
@@ -878,7 +877,7 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
             if upd_t3:
                 u_new, v_new = un_t3(u_new), un_t3(v_new)
                 tracers = {k: un_t3(v) for k, v in tracers.items()}
-                upd_t3 = tr_t3 = False
+                upd_t3 = False
 
         if tridiag_supported((u_new, v_new), ku, dzc, dzf, kappa_t3=kt3,
                              fields_t3=upd_t3):
@@ -893,11 +892,11 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         tracers = dict(tracers)
         if len(plain) > 1 and tridiag_supported(
             tuple(tracers[k] for k in plain), kc, dzc, dzf, kappa_t3=kt3,
-            fields_t3=tr_t3,
+            fields_t3=upd_t3,
         ):
             sols = pallas_implicit_diffusion(
                 tuple(tracers[k] for k in plain), kc, dt, dzc, dzf,
-                kappa_t3=kt3, fields_t3=tr_t3,
+                kappa_t3=kt3, fields_t3=upd_t3,
             )
             tracers.update(zip(plain, sols))
             rest = [k for k in tracers if k not in plain]
@@ -907,16 +906,16 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
             kap_k = special.get(k) if special.get(k) is not None else kc
             damp_k = damping.get(k)
             if tridiag_supported(tracers[k], kap_k, dzc, dzf, damping=damp_k,
-                                 kappa_t3=kt3, fields_t3=tr_t3):
+                                 kappa_t3=kt3, fields_t3=upd_t3):
                 tracers[k] = pallas_implicit_diffusion(
                     tracers[k], kap_k, dt, dzc, dzf, damping=damp_k,
-                    kappa_t3=kt3, fields_t3=tr_t3,
+                    kappa_t3=kt3, fields_t3=upd_t3,
                 )
             else:
                 if kt3:
                     kap_k = un_t3(kap_k)
                     damp_k = un_t3(damp_k)
-                if tr_t3:
+                if upd_t3:
                     tracers[k] = un_t3(tracers[k])
                 tracers[k] = implicit_vertical_diffusion(
                     tracers[k], kap_k, dt, dzc, dzf, damping=damp_k,
@@ -954,22 +953,33 @@ def loop(cfg, grid, state, dt, n, comm=None):
         return _loop_extended(cfg, grid, state, dt, n)
 
     if _g_t3_ok(cfg, grid, state, comm):
-        def t3(a):
-            return jnp.transpose(a, (2, 1, 0))
-
-        def t3g(s):
-            return s.replace(Gu=t3(s.Gu), Gv=t3(s.Gv),
-                             Gtracers={k: t3(v) for k, v in s.Gtracers.items()})
-
-        def body(_, s):
-            return time_step(cfg, grid, s, dt, comm, g_t3=True)
-
-        return t3g(jax.lax.fori_loop(0, n, body, t3g(state)))
+        return g_t3_loop(
+            lambda s: time_step(cfg, grid, s, dt, comm, g_t3=True), state, n)
 
     def body(_, s):
         return time_step(cfg, grid, s, dt, comm)
 
     return jax.lax.fori_loop(0, n, body, state)
+
+
+def transpose_G(state):
+    """Transpose the stored tendencies between (X, Y, Z) and the kernel's
+    (Z, Y, X) layout (the transform is its own inverse). Single source of
+    truth for the transposed-G carry contract used by ``loop``,
+    ``coupled.coupled_loop`` and the climate run script."""
+    def t3(a):
+        return jnp.transpose(a, (2, 1, 0))
+
+    return state.replace(Gu=t3(state.Gu), Gv=t3(state.Gv),
+                         Gtracers={k: t3(v) for k, v in state.Gtracers.items()})
+
+
+def g_t3_loop(step_body, state, n):
+    """``fori_loop`` wrapper for the transposed-G carry: transpose the stored
+    tendencies in, run ``step_body(state)`` (which must pass ``g_t3=True`` to
+    ``time_step``) n times, transpose back out."""
+    out = jax.lax.fori_loop(0, n, lambda _, s: step_body(s), transpose_G(state))
+    return transpose_G(out)
 
 
 def _g_t3_ok(cfg, grid, state, comm):

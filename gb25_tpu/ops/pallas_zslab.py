@@ -339,6 +339,11 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                 "grid is x-periodic (wrap padding)"
             )
         xtail = (-Nx) % 128
+    if xtail and (g_t3 or upd_t3):
+        # transposed outputs keep the kernel's padded x extent; the wrap
+        # columns would leak to the caller (the t3g/t3u identity skips the
+        # tail drop), so the transposed handoffs require aligned Nx outright
+        raise ValueError("g_t3/upd_t3 require Nx % 128 == 0 (no wrap tail)")
     Nxp = Nx + xtail
 
     if bx is None:
@@ -630,8 +635,6 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
         if g_t3:
             # transposed-G carry (models.hydrostatic.loop): the prev
             # tendencies already arrive in the kernel's (Z, Y, X) layout
-            if xtail:
-                raise ValueError("g_t3 requires Nx % 128 == 0 (no wrap tail)")
             t3p = lambda a: a
         else:
             def t3p(a):  # prev-G blocks: zero-pad the x tail (outputs discarded)
@@ -664,8 +667,6 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     # transposed updated-field handoff: the barotropic correction and the
     # implicit vertical solves (ops/pallas_tridiag.py) consume the updated
     # fields transposed anyway
-    if upd_t3 and xtail:
-        raise ValueError("upd_t3 requires Nx % 128 == 0 (no wrap tail)")
     t3u = (lambda o: o) if upd_t3 else t3o
     u_new, v_new = t3u(outs[n_prog]), t3u(outs[n_prog + 1])
     tr_new = {name: t3u(outs[n_prog + 2 + t]) for t, name in enumerate(tracer_names)}

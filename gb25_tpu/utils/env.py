@@ -22,16 +22,30 @@ def preamble(collective_timeout_minutes: int = 30):
     for var in _PROXY_VARS:
         os.environ.pop(var, None)
 
+    # honor an explicit JAX_PLATFORMS pin even when a site boot hook has
+    # already overridden the platform list via jax.config (config updates
+    # beat env vars, so e.g. JAX_PLATFORMS=cpu subprocess tests would
+    # otherwise still dial the TPU plugin)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     # a usable TMPDIR (some schedulers hand out per-job paths that vanish)
     tmpdir = os.environ.get("TMPDIR", "/tmp")
     if not os.path.isdir(tmpdir):
         os.environ["TMPDIR"] = "/tmp"
 
     # hang detection: bound collective execution (reference: XLA collective
-    # call timeouts used as hang detectors, SURVEY.md section 5)
+    # call timeouts used as hang detectors, SURVEY.md section 5). TPU-only
+    # flags are fatal to the CPU backend ("Unknown flag in XLA_FLAGS"), so
+    # skip them under an explicit non-TPU platform pin.
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    tpu_target = (not platforms) or any(
+        p.strip() in ("axon", "tpu") for p in platforms.split(","))
     flags = os.environ.get("XLA_FLAGS", "")
     extra = []
-    if "xla_tpu_enable_latency_hiding_scheduler" not in flags:
+    if tpu_target and "xla_tpu_enable_latency_hiding_scheduler" not in flags:
         extra.append("--xla_tpu_enable_latency_hiding_scheduler=true")
     if extra:
         os.environ["XLA_FLAGS"] = (flags + " " + " ".join(extra)).strip()

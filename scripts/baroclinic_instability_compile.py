@@ -20,6 +20,9 @@ from gb25_tpu.utils.args import benchmark_parser, build_config, float_type, reso
 
 
 def main():
+    from gb25_tpu.utils.env import preamble
+
+    preamble()
     p = benchmark_parser("AOT compile + IR dump")
     p.set_defaults(resolution=8.0, Nz=10, steps=16)
     p.add_argument("--out-dir", default="compile_artifacts")

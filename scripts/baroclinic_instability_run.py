@@ -22,6 +22,9 @@ from gb25_tpu.utils.profiling import Timer, allocator_stats, with_profiler
 
 
 def main():
+    from gb25_tpu.utils.env import preamble
+
+    preamble()
     p = benchmark_parser("serial baroclinic instability run")
     p.set_defaults(resolution=8.0, Nz=10, steps=64)
     args = p.parse_args()

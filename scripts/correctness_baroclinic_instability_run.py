@@ -23,6 +23,9 @@ from gb25_tpu.utils.correctness import compare_states, default_rtol, sync_states
 
 
 def main():
+    from gb25_tpu.utils.env import preamble
+
+    preamble()
     p = benchmark_parser("sharded-vs-serial correctness")
     p.set_defaults(resolution=8.0, Nz=10, dt=1e-9)
     p.add_argument("--n-devices", type=int, default=None)

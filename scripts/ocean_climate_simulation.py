@@ -32,6 +32,9 @@ from gb25_tpu.simulation import IterationInterval, Simulation, progress_callback
 
 
 def main():
+    from gb25_tpu.utils.env import preamble
+
+    preamble()
     p = argparse.ArgumentParser()
     p.add_argument("--resolution", type=float, default=2.0)
     p.add_argument("--Nz", type=int, default=20)
@@ -80,26 +83,18 @@ def main():
     # the (possibly pre-regridded, ocean-sized) records into the IR as
     # constants — hundreds of MB at the flagship grid
     def climate_loop(ccfg_, grid_, atmos_, restoring_, s, dt, n):
-        from gb25_tpu.models.hydrostatic import _g_t3_ok
+        from gb25_tpu.models.hydrostatic import _g_t3_ok, g_t3_loop
 
         g_t3 = _g_t3_ok(ccfg_.ocean, grid_, s, None)
 
-        def body(_, ss):
+        def step1(ss):
             fluxes, _diag = compute_interface_fluxes(ccfg_, grid_, atmos_, ss)
             return time_step(ccfg_.ocean, grid_, ss, dt, surface_fluxes=fluxes,
                              restoring=restoring_, g_t3=g_t3)
 
         if g_t3:  # transposed-G carry (see models.hydrostatic.loop)
-            import jax.numpy as jnp
-
-            def t3g(ss):
-                t3 = lambda a: jnp.transpose(a, (2, 1, 0))
-                return ss.replace(
-                    Gu=t3(ss.Gu), Gv=t3(ss.Gv),
-                    Gtracers={k: t3(v) for k, v in ss.Gtracers.items()})
-
-            return t3g(jax.lax.fori_loop(0, n, body, t3g(s)))
-        return jax.lax.fori_loop(0, n, body, s)
+            return g_t3_loop(step1, s, n)
+        return jax.lax.fori_loop(0, n, lambda _, ss: step1(ss), s)
 
     _jloop = jax.jit(climate_loop, static_argnames="n")
 

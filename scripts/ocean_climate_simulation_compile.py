@@ -25,6 +25,9 @@ from gb25_tpu.models.coupled import (
 
 
 def main():
+    from gb25_tpu.utils.env import preamble
+
+    preamble()
     p = argparse.ArgumentParser(description="climate AOT compile + IR dump")
     p.add_argument("--resolution", type=float, default=8.0)
     p.add_argument("--Nz", type=int, default=10)

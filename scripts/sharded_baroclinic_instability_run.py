@@ -20,6 +20,9 @@ from gb25_tpu.utils.profiling import Timer, allocator_stats, with_profiler
 
 
 def main():
+    from gb25_tpu.utils.env import preamble
+
+    preamble()
     p = benchmark_parser("sharded baroclinic instability benchmark")
     p.add_argument("--tile-x", type=int, default=512, help="per-device tile in x")
     p.add_argument("--tile-y", type=int, default=512)

@@ -12,6 +12,9 @@ from gb25_tpu.utils.args import benchmark_parser, build_config, float_type, reso
 
 
 def main():
+    from gb25_tpu.utils.env import preamble
+
+    preamble()
     p = benchmark_parser("warm the persistent compile cache")
     p.set_defaults(resolution=8.0, Nz=10)
     p.add_argument("--cache-dir", default=None)

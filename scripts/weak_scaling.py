@@ -55,6 +55,9 @@ def run_once(n, tile, Nz, steps, dtype_name, overlap=True):
 
 
 def main():
+    from gb25_tpu.utils.env import preamble
+
+    preamble()
     p = argparse.ArgumentParser()
     p.add_argument("--tile", default="64",
                    help="per-device tile: N or NXxNY (e.g. 768x384 = the "

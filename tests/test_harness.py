@@ -2,6 +2,8 @@
 correctness comparison utilities (reference analogs: Simulation/run!,
 src/sharded_io.jl, src/correctness.jl)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -166,3 +168,28 @@ def test_checkpoint_writer(setup, tmp_path):
     assert 1 <= len(dirs) <= 2  # pruned to keep=2
     meta = load_metadata(dirs[-1])
     assert meta["iteration"] == 12
+
+
+def test_preamble_honors_platform_pin(monkeypatch):
+    """preamble() must (a) re-assert an explicit JAX_PLATFORMS pin through
+    jax.config (site boot hooks override the env var via config updates,
+    which beat env), and (b) not inject TPU-only XLA flags under a non-TPU
+    pin (they are fatal to the CPU backend's flag parser)."""
+    import jax
+
+    from gb25_tpu.utils.env import preamble
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    preamble()
+    assert jax.config.jax_platforms == "cpu"
+    assert "xla_tpu" not in os.environ["XLA_FLAGS"]
+
+    # TPU-targeted env keeps the hang-detection flag injection
+    monkeypatch.setenv("JAX_PLATFORMS", "")
+    monkeypatch.setenv("XLA_FLAGS", "")
+    preamble()
+    assert "--xla_tpu_enable_latency_hiding_scheduler=true" in os.environ["XLA_FLAGS"]
+    # restore the pin for the rest of the suite (conftest set it)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    jax.config.update("jax_platforms", "cpu")

@@ -574,12 +574,7 @@ def test_g_t3_restoring_increment_matches(monkeypatch):
     target = jnp.full(grid.shape, 20.0, jnp.float32)
     res = {"T": (target, jnp.float32(1e-5))}
 
-    def t3(a):
-        return jnp.transpose(a, (2, 1, 0))
-
-    def t3g(s):
-        return s.replace(Gu=t3(s.Gu), Gv=t3(s.Gv),
-                         Gtracers={k: t3(v) for k, v in s.Gtracers.items()})
+    from gb25_tpu.models.hydrostatic import transpose_G as t3g
 
     step = jax.jit(lambda s: time_step(cfg, grid, s, 60.0, restoring=res))
     step_t3 = jax.jit(
