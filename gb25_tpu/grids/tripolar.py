@@ -286,23 +286,34 @@ def tripolar_grid(
     azf_i = dxf_i * dyf_i
 
     # --- halo extension: x wrap; y south mirror-values; y north fold-values ---
-    def extend_metric(m):
-        # north fold for metric VALUES (no sign): ghost(i, (Ny-1)+k) =
-        # m(fold(i), (Ny-1)-k), fold(i) = (2p - i) mod Nx
-        fold = np.roll(m[::-1, :], (2 * p + 1) % Nx, axis=0)
-        north = fold[:, Ny - 1 - hy : Ny - 1][:, ::-1]  # rows P-1 .. P-hy
+    def extend_metric(m, yface=False, xface=False):
+        # north fold for metric VALUES (no sign), by staggering (the same
+        # T-pivot algebra as the DATA fold, grids/tripolar.py::
+        # fold_ghosts_north — the pivot is the center of row P = Ny-1):
+        #   y-center rows: ghost(i, P+k)  = m(fold(i), P-k)
+        #   y-face rows:   ghost(i, Ny-1+k) = m(fold(i), Ny-k)
+        #     (ghost face j is the fold image of face 2Ny-1-j; the first
+        #      ghost face Ny mirrors face Ny-1 about the pivot center)
+        # x mapping: centers fold(i) = (2p - i) mod Nx; x-faces (2p+1 - i).
+        fold = np.roll(m[::-1, :], (2 * p + (2 if xface else 1)) % Nx, axis=0)
+        if yface:
+            north = fold[:, Ny - hy : Ny][:, ::-1]  # faces Ny-1 .. Ny-hy
+        else:
+            north = fold[:, Ny - 1 - hy : Ny - 1][:, ::-1]  # rows P-1 .. P-hy
         south = m[:, :hy][:, ::-1]
         me = np.concatenate([south, m, north], axis=1) if hy else m
         # x wrap
         return np.concatenate([me[-hx:], me, me[:hx]], axis=0) if hx else me
 
+    # y-staggering per construction above: dxf/dyf/azf live on y-face rows
+    # (v-points), phi_ff on corners (x-face AND y-face); the rest at y-centers
     dxc_e = extend_metric(dxc_i)
-    dxf_e = extend_metric(dxf_i)
+    dxf_e = extend_metric(dxf_i, yface=True)
     dyc_e = extend_metric(dyc_i)
-    dyf_e = extend_metric(dyf_i)
+    dyf_e = extend_metric(dyf_i, yface=True)
     azc_e = extend_metric(azc_i)
-    azf_e = extend_metric(azf_i)
-    phi_ff_e = extend_metric(phi_ff)
+    azf_e = extend_metric(azf_i, yface=True)
+    phi_ff_e = extend_metric(phi_ff, yface=True, xface=True)
 
     # --- vertical (same as lat-lon) ---
     if z_faces is None:

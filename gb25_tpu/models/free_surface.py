@@ -184,11 +184,14 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
     ):
         # TPU serial fast path: the whole substep loop as one VMEM-resident
         # Pallas kernel (the blocked array loop below is latency-bound:
-        # hundreds of small 2-D ops)
+        # hundreds of small 2-D ops). Covers tripolar (in-kernel fold row)
+        # and immersed (solid-face mask planes) — the climate configuration.
+        mu = None if maskU_e is None else interior(maskU_e)
+        mv = None if maskV_e is None else interior(maskV_e)
         eta_b, U_b, V_b = pallas_barotropic_loop(
             cfg, grid, state.eta, U0, V0,
             interior(GU_e), interior(GV_e),
-            interior(Hu_e), interior(Hv_e), dt,
+            interior(Hu_e), interior(Hv_e), dt, mu=mu, mv=mv,
         )
         return _finish(grid, state, u_star, v_star, eta_b, U_b, V_b,
                        interior(Hu_e), interior(Hv_e), uv_t3=uv_t3)

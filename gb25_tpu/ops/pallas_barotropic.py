@@ -27,7 +27,14 @@ substep runs at VPU/VMEM speed with zero HBM round-trips:
 Boundary semantics replicate ``ops/halos.FIELD_BCS`` width-1 ghosts
 exactly: x wrap everywhere; eta mirror in y (zero surface gradient at the
 wall); V antimirror (wall face V = 0, and the top flux through face Ny
-vanishes).  Differential-tested against the array path in
+vanishes).  On tripolar grids the top flux is instead the T-pivot fold row
+-Vd(fold_c(i), Ny-1), applied in-kernel each substep as a constant 0/1
+permutation matmul on the MXU (exact because the grid's face-row metric
+ghosts are fold images, grids/tripolar.py::extend_metric); immersed grids
+multiply (U, V) by solid-face masks each substep.  This makes the serial
+climate configuration (tripolar + gaussian islands) run the whole solve in
+ONE kernel — distributed runs use the blocked variant below.
+Differential-tested against the array path in
 ``tests/test_barotropic_kernel.py``.
 """
 
@@ -44,8 +51,13 @@ from gb25_tpu.models.free_surface import averaging_weights
 
 
 def barotropic_kernel_supported(cfg, grid, dtype) -> bool:
-    """Lat-lon, non-immersed, f32, metrics-as-y-profiles only (the flagship
-    configuration); everything else stays on the blocked array path."""
+    """Serial whole-loop kernel gate: f32, x-periodic, lane/sublane-aligned.
+
+    Covers the flagship lat-lon configuration AND the climate configuration
+    (tripolar north fold + immersed bathymetry): the fold contributes one
+    ghost row of V flux per substep, applied in-kernel as a constant
+    x-reflection — a tiny permutation matmul on the MXU — and solid-face
+    masks multiply (U, V) each substep exactly like the blocked variant."""
     if int(os.environ.get("GB25_DISABLE_PALLAS", "0")):
         return False
     if jax.default_backend() != "tpu" and not int(
@@ -54,17 +66,18 @@ def barotropic_kernel_supported(cfg, grid, dtype) -> bool:
         return False
     if dtype != jnp.float32:
         return False
-    if getattr(grid, "north_fold", False) or grid.immersed:
-        return False
     if not grid.x_periodic:
         return False
-    # y-profile metrics (lat-lon); tripolar carries full 2-D metrics
-    if grid.dxc.shape[0] != 1:
-        return False
-    # lane/sublane quanta and VMEM budget (~10 planes + temps)
+    # lane/sublane quanta and VMEM budget (~14 planes + temps; immersed
+    # adds 2 mask planes, 2-D tripolar metrics 1 raz plane, the north fold
+    # one (Nx, Nx) permutation matrix)
     if grid.Nx % 128 or grid.Ny % 8:
         return False
-    if 14 * grid.Nx * grid.Ny * 4 > 100 * 1024 * 1024:
+    vmem = (14 + (2 if grid.immersed else 0)
+            + (1 if grid.dxc.shape[0] > 1 else 0)) * grid.Nx * grid.Ny * 4
+    if getattr(grid, "north_fold", False):
+        vmem += grid.Nx * grid.Nx * 4
+    if vmem > 100 * 1024 * 1024:
         return False
     fs = cfg.free_surface
     return getattr(fs, "substeps", 0) >= 2
@@ -79,12 +92,17 @@ def _rollp(a):  # a[i+1] along lanes (x), periodic
 
 
 def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
-                           interpret=False):
+                           mu=None, mv=None, interpret=False):
     """Run the full substep loop in one kernel.
 
     Inputs are interior (Nx, Ny) arrays (already depth-integrated);
     returns the filtered (eta_b, U_b, V_b), matching the array path's
-    accumulators.
+    accumulators.  ``mu``/``mv``: optional interior solid-face masks
+    (immersed grids).  Tripolar north-fold grids apply the seam BC
+    in-kernel: the one V-flux ghost row each substep needs,
+    ghost(i, Ny) = -Vd(fold_c(i), Ny-1) with fold_c(i) = (2p - i) mod Nx
+    (grids/tripolar.py::fold_ghosts_north), evaluated as a constant
+    x-reflection permutation matmul on the MXU.
     """
     interpret = interpret or bool(int(os.environ.get("GB25_ZSLAB_INTERPRET", "0")))
     fs = cfg.free_surface
@@ -93,53 +111,83 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
     w_all = averaging_weights(M, fs.averaging)  # static numpy weights
     dtype = eta0.dtype
     Nx, Ny = grid.Nx, grid.Ny
-    hy = grid.hy
+    hx, hy = grid.hx, grid.hy
+    fold = bool(getattr(grid, "north_fold", False))
+    has_mask = mu is not None
 
     def t2(a):  # (X, Y) -> (Y, X)
         return jnp.transpose(a, (1, 0))
 
-    # y-profile metrics at interior rows, broadcast along x outside the
-    # kernel (Mosaic has no single-op sublane+lane broadcast)
+    # interior metric planes in (Y, X) layout. Lat-lon metrics are y
+    # profiles, broadcast along x outside the kernel (Mosaic has no
+    # single-op sublane+lane broadcast); tripolar carries full 2-D planes.
     sly = slice(hy, hy + Ny)
+    slx = slice(hx, hx + Nx)
 
     def prof(m):  # (1, Ny+2hy, 1) -> (Ny, 1)
         return m[0, sly, :]
 
-    dyc = prof(grid.dyc)      # dy at u-points
-    dxf = prof(grid.dxf)      # dx at v-points
-    dxc = prof(grid.dxc)
-    dyf = prof(grid.dyf)
-    azc = prof(grid.azc)
+    def plane(m):  # extended metric -> (Ny, Nx) interior plane
+        if m.shape[0] == 1:
+            return jnp.broadcast_to(prof(m).astype(dtype), (Ny, Nx))
+        return t2(m[slx, sly, 0]).astype(dtype)
+
+    azc = grid.azc
+    dycP = plane(grid.dyc)    # dy at u-points
+    dxfP = plane(grid.dxf)    # dx at v-points
 
     dtau = jnp.asarray(2.0 * dt / M, dtype)
 
-    def bcast(col):
-        return jnp.broadcast_to(col.astype(dtype), (Ny, Nx))
-
     # precomputed planes (XLA; cheap, once per model step)
-    Ud0 = t2(U0) * bcast(dyc)
-    Vd0 = t2(V0) * bcast(dxf)
-    r_azc = (1.0 / azc).astype(dtype)  # thin (Ny, 1): lane-broadcast in-kernel
+    Ud0 = t2(U0) * dycP
+    Vd0 = t2(V0) * dxfP
+    # thin (Ny, 1) divergence scale lane-broadcasts in-kernel; 2-D tripolar
+    # metrics ride as a full plane
+    r_azc = ((1.0 / prof(azc)) if azc.shape[0] == 1
+             else (1.0 / t2(azc[slx, sly, 0]))).astype(dtype)
     # pressure-gradient planes: dtau * g * H * metric ratios, flux-weighted
-    gHuW = t2(Hu) * bcast(dyc / dxc) * (dtau * g)
-    gHvW = t2(Hv) * bcast(dxf / dyf) * (dtau * g)
-    GUd = t2(GU) * bcast(dyc) * dtau
-    GVd = t2(GV) * bcast(dxf) * dtau
+    gHuW = t2(Hu) * (dycP / plane(grid.dxc)) * (dtau * g)
+    gHvW = t2(Hv) * (dxfP / plane(grid.dyf)) * (dtau * g)
+    GUd = t2(GU) * dycP * dtau
+    GVd = t2(GV) * dxfP * dtau
     # (dtau, w_0..w_{M-1}) in SMEM, indexed by the substep grid step
     scal = jnp.concatenate(
         [jnp.reshape(dtau, (1, 1)),
          jnp.asarray(w_all, dtype)[None, :]], axis=1,
     )
 
+    operands = [scal, t2(eta0), Ud0, Vd0, gHuW, gHvW, GUd, GVd, r_azc]
+    n_base = len(operands) - 1  # VMEM operand count before masks/fold
+    if has_mask:
+        # masks fold the flux weighting: (V * mask) * dxf == Vd * mask
+        operands += [t2(mu).astype(dtype), t2(mv).astype(dtype)]
+    if fold:
+        # x-reflection permutation: folded[i] = row[(2p - i) % Nx], as a
+        # constant 0/1 matrix so the fold is one small MXU matmul per
+        # substep (Mosaic has no general cross-lane flip)
+        import numpy as np
+
+        p = grid.pole_index
+        src = (2 * p - np.arange(Nx)) % Nx
+        pm = np.zeros((Nx, Nx), np.float32)
+        pm[src, np.arange(Nx)] = 1.0
+        operands += [jnp.asarray(pm, dtype)]
+    i_mask = n_base + 1  # kernel-ref index of mu (past the SMEM scal ref)
+    i_fold = i_mask + (2 if has_mask else 0)
+
     # One *grid step per substep* (grid=(M,)): the body is compiled once
     # (a 30x-unrolled body wedges Mosaic for minutes at flagship size), the
     # evolving (eta, Ud, Vd) live in VMEM scratch, and the filtered
     # accumulators build up directly in the output windows (constant index
     # map -> the buffers persist across the sequential grid steps).
-    def kernel(scal_ref, eta0_ref, Ud0_ref, Vd0_ref, gHu_ref, gHv_ref,
-               GU_ref, GV_ref, raz_ref,
-               etab_ref, Ub_ref, Vb_ref,
-               eta_s, Ud_s, Vd_s):
+    n_in = len(operands)
+
+    def kernel(*refs):
+        scal_ref = refs[0]
+        (eta0_ref, Ud0_ref, Vd0_ref, gHu_ref, gHv_ref,
+         GU_ref, GV_ref, raz_ref) = refs[1:9]
+        etab_ref, Ub_ref, Vb_ref = refs[n_in : n_in + 3]
+        eta_s, Ud_s, Vd_s = refs[n_in + 3 :]
         m = pl.program_id(0)
         dtau_s = scal_ref[0, 0]
         wm = scal_ref[0, m + 1]
@@ -156,13 +204,21 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
         eta = eta_s[...]
         Ud = Ud_s[...]
         Vd = Vd_s[...]
-        raz = raz_ref[...]  # (Ny, 1), broadcasts along lanes
-        zrow = jnp.zeros_like(Vd[:1])
+        raz = raz_ref[...]  # (Ny, 1) lane-broadcasts; tripolar: full plane
 
         # continuity: d eta/d tau = -div(U, V): x flux difference
-        # Ud[i+1] - Ud[i] (periodic); y flux Vd[j+1] - Vd[j] with the wall
-        # flux Vd[Ny] = 0 (antimirror hi ghost)
-        Vd_up = jnp.concatenate([Vd[1:], zrow], axis=0)
+        # Ud[i+1] - Ud[i] (periodic); y flux Vd[j+1] - Vd[j] with the top
+        # ghost flux Vd[Ny] = 0 (wall, antimirror) or the north-fold row
+        # -fold_c(Vd[Ny-1]) on tripolar grids
+        if fold:
+            # matmul on an 8-sublane slab (Mosaic-friendly); only the last
+            # row (j = Ny-1) is consumed
+            fold8 = jnp.dot(Vd[-8:], refs[i_fold][...],
+                            preferred_element_type=dtype)
+            top = -fold8[-1:]
+        else:
+            top = jnp.zeros_like(Vd[:1])
+        Vd_up = jnp.concatenate([Vd[1:], top], axis=0)
         div = (_rollp(Ud) - Ud + Vd_up - Vd) * raz
         eta = eta - dtau_s * div
 
@@ -174,6 +230,11 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
         detay = eta - eta_dn
         Ud = Ud - gHu_ref[...] * detax + GU_ref[...]
         Vd = Vd - gHv_ref[...] * detay + GV_ref[...]
+        if has_mask:
+            # no transport through solid faces (matches the array path's
+            # per-substep masking, models/free_surface.py)
+            Ud = Ud * refs[i_mask][...]
+            Vd = Vd * refs[i_mask + 1][...]
 
         eta_s[...] = eta
         Ud_s[...] = Ud
@@ -189,7 +250,6 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
             return jax.ShapeDtypeStruct((Ny, Nx), dtype, vma=vma)
         return jax.ShapeDtypeStruct((Ny, Nx), dtype)
 
-    operands = [scal, t2(eta0), Ud0, Vd0, gHuW, gHvW, GUd, GVd, r_azc]
     if vma:
         operands = [
             jax.lax.pvary(a, tuple(set(vma) - getattr(jax.typeof(a), "vma", set())))
@@ -214,16 +274,17 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
             vmem_limit_bytes=116 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=14 * M * Nx * Ny,
-            bytes_accessed=12 * Nx * Ny * 4,
+            flops=(14 + 2 * int(has_mask)) * M * Nx * Ny
+            + (2 * 8 * Nx * Nx * M if fold else 0),
+            bytes_accessed=(12 + 2 * int(has_mask) + int(fold)) * Nx * Ny * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(*operands)
 
     # un-weight the filtered transports back to physical units
-    U_b = t2(Ub / bcast(dyc))
-    V_b = t2(Vb / bcast(dxf))
+    U_b = t2(Ub / dycP)
+    V_b = t2(Vb / dxfP)
     return t2(etab), U_b, V_b
 
 
@@ -231,10 +292,10 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
 # Shard-capable blocked substep kernel
 # ---------------------------------------------------------------------------
 #
-# The full-loop kernel above needs the whole (serial, lat-lon, non-immersed)
-# domain and bakes the physical boundary conditions into its shift ops, so
-# distributed runs and the climate configuration (tripolar + immersed) fell
-# back to the latency-bound blocked array loop (VERDICT r2 missing #2).
+# The full-loop kernel above needs the whole (serial) domain and bakes the
+# physical boundary conditions into its shift ops — including, since round 3,
+# the tripolar north fold (in-kernel permutation matmul) and immersed masks —
+# so only *distributed* runs fall back here (VERDICT r2 missing #2).
 # This variant instead kernels ONE exchange block: it advances
 # ``len(weights)`` forward-backward substeps on width-W halo-extended local
 # planes entirely in VMEM.  Boundary semantics (wall/mirror/periodic/fold/
