@@ -43,22 +43,45 @@ from gb25_tpu.ops.pallas_tendency import _choose_tile
 from gb25_tpu.ops.stencils import axis_order
 
 
-def cumsum_leading(a):
+def cumsum_leading(a, tree=None):
     """Inclusive cumulative sum along the leading (z) axis.
 
-    Inside the kernel the window depth is small (bz + 6), so an unrolled
-    running sum over leading-dim slices is both cheap (leading-dim indexing
-    selects vregs; each step is one (byh, bxh) VPU add) and bitwise-identical
-    to ``jnp.cumsum``'s sequential order. A rank-3 leading-dim MXU
-    contraction is NOT used: Mosaic's infer-vector-layout rejects the
-    (W, byh, bxh) -> (W, byh*bxh) shape cast it would need (probe-verified
-    on v5e, round 2)."""
-    rows = []
-    acc = jnp.zeros_like(a[0])
-    for k in range(a.shape[0]):
-        acc = acc + a[k]
-        rows.append(acc)
-    return jnp.stack(rows, axis=0)
+    Two forms, selected by window depth W = a.shape[0]:
+
+    - **Sequential unroll** (W <= 14, i.e. bz <= 8): a running sum over
+      leading-dim slices — cheap (leading-dim indexing selects vregs; each
+      step is one (byh, bxh) VPU add) and bitwise-identical to
+      ``jnp.cumsum``'s sequential order.
+    - **Hillis-Steele tree scan** (W > 14, or ``GB25_ZSLAB_TREECUM=1``):
+      ceil(log2 W) shift-and-add passes over the whole window.  The unrolled
+      program body stops growing linearly with W — the remote Mosaic compile
+      service wedges on the bz=16 (W=22) sequential unroll (PARITY known-gap
+      #1), while the tree form stays at 5 passes.  Summation *order* differs
+      from sequential, so results agree with the array path to f32 rounding
+      (~1 ulp per log2 W level), not bitwise; the kernel-vs-array
+      differential tolerance (2e-4 rtol) absorbs this.
+
+    A rank-3 leading-dim MXU contraction is NOT used: Mosaic's
+    infer-vector-layout rejects the (W, byh, bxh) -> (W, byh*bxh) shape cast
+    it would need (probe-verified on v5e, round 2)."""
+    import os
+
+    W = a.shape[0]
+    if tree is None:
+        env = os.environ.get("GB25_ZSLAB_TREECUM")
+        tree = W > 14 if env is None else bool(int(env))
+    if not tree:
+        rows = []
+        acc = jnp.zeros_like(a[0])
+        for k in range(W):
+            acc = acc + a[k]
+            rows.append(acc)
+        return jnp.stack(rows, axis=0)
+    s = 1
+    while s < W:
+        a = a + jnp.concatenate([jnp.zeros_like(a[:s]), a[:-s]], axis=0)
+        s *= 2
+    return a
 
 
 class _TileGridT:

@@ -28,7 +28,7 @@ _SPECIAL = {
 }
 
 
-def factors(N: int, global_nx: int | None = None) -> tuple[int, int]:
+def factors(N: int, global_nx: int | None = None, n_slices: int = 1) -> tuple[int, int]:
     """(Rx, Ry) process grid: prefers Rx = 2 Ry, falls back to the divisor
     pair closest to that aspect ratio.
 
@@ -38,30 +38,46 @@ def factors(N: int, global_nx: int | None = None) -> tuple[int, int]:
     aspect-ratio-optimal ones: losing the kernel costs ~4x step time
     (VERDICT r2 weak #6), far more than a skewed aspect ratio costs in halo
     bytes.  Among kernel-keeping pairs the usual 2:1 aspect policy applies.
+
+    ``n_slices``: on a multi-slice deployment (several ICI tori joined by
+    DCN), only shapes with Ry % n_slices == 0 admit the hybrid mesh whose
+    DCN traffic is one seam row-pair per slice pair (``hybrid_shape``); any
+    other shape scatters DCN hops through the torus.  Slice admissibility
+    outranks kernel alignment: a mis-sliced mesh pays DCN latency on *every*
+    halo exchange, while a misaligned tile only loses the kernel speedup.
+    Preference order: slice-ok+aligned > slice-ok > aligned > aspect-only.
     """
+    kernel_ok = (
+        lambda rx: global_nx is not None
+        and global_nx % rx == 0
+        and (global_nx // rx) % 128 == 0
+    )
+    slice_ok = lambda ry: ry % n_slices == 0
     if N in _SPECIAL:
         rx, ry = _SPECIAL[N]
-        if global_nx is None or (global_nx % rx == 0 and (global_nx // rx) % 128 == 0):
+        if (global_nx is None or kernel_ok(rx)) and slice_ok(ry):
             return rx, ry
-    best = None
-    best_aligned = None
+    # tiers: (slice-ok, kernel-aligned) > slice-ok > aligned > any
+    tiers = [None, None, None, None]
     for ry in range(1, N + 1):
         if N % ry:
             continue
         rx = N // ry
         score = abs(np.log2(rx / ry) - 1.0)  # target rx/ry = 2
-        if best is None or score < best[0]:
-            best = (score, (rx, ry))
-        if (
-            global_nx is not None
-            and global_nx % rx == 0
-            and (global_nx // rx) % 128 == 0
-            and (best_aligned is None or score < best_aligned[0])
-        ):
-            best_aligned = (score, (rx, ry))
-    if best_aligned is not None:
-        return best_aligned[1]
-    return best[1]
+        for t, ok in enumerate((
+            slice_ok(ry) and kernel_ok(rx),
+            slice_ok(ry),
+            kernel_ok(rx),
+            True,
+        )):
+            if ok and (tiers[t] is None or score < tiers[t][0]):
+                tiers[t] = (score, (rx, ry))
+    if global_nx is None:  # no alignment data: only slice tiers apply
+        tiers[0] = tiers[2] = None
+    for t in tiers:
+        if t is not None:
+            return t[1]
+    return (N, 1)  # unreachable: tier 3 always fills
 
 
 def kernel_alignment_warning(grid_nx: int, rx: int) -> str | None:
@@ -120,19 +136,30 @@ def make_mesh(n_devices: int | None = None, devices=None, shape=None) -> jax.sha
     if n_devices is None:
         n_devices = len(devices)
     devices = devices[:n_devices]
-    rx, ry = shape or factors(n_devices)
+    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+    rx, ry = shape or factors(n_devices, n_slices=len(slice_ids))
     if rx * ry != n_devices:
         raise ValueError(f"mesh shape {(rx, ry)} != device count {n_devices}")
 
-    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
-    if len(slice_ids) > 1 and ry % len(slice_ids) == 0:
-        from jax.experimental import mesh_utils
+    if len(slice_ids) > 1:
+        if ry % len(slice_ids):
+            import warnings
 
-        (rx, ry), ici, dcn = hybrid_shape(n_devices, len(slice_ids), (rx, ry))
-        dev_array = mesh_utils.create_hybrid_device_mesh(
-            ici, dcn, devices, allow_split_physical_axes=True
-        )
-        return jax.sharding.Mesh(dev_array, ("x", "y"))
+            warnings.warn(
+                f"mesh shape {(rx, ry)} cannot band {len(slice_ids)} slices "
+                "(Ry % n_slices != 0): falling back to a flat device order, "
+                "which scatters DCN hops through the halo pattern. Pick a "
+                "shape via factors(N, n_slices=...) instead.",
+                stacklevel=2,
+            )
+        else:
+            from jax.experimental import mesh_utils
+
+            (rx, ry), ici, dcn = hybrid_shape(n_devices, len(slice_ids), (rx, ry))
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                ici, dcn, devices, allow_split_physical_axes=True
+            )
+            return jax.sharding.Mesh(dev_array, ("x", "y"))
 
     dev_array = np.asarray(devices).reshape(rx, ry)
     return jax.sharding.Mesh(dev_array, ("x", "y"))

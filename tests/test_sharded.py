@@ -180,3 +180,46 @@ def test_1x1_mesh_takes_serial_path():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-13, atol=1e-16
         )
+
+
+def test_factors_slice_aware():
+    """Multi-slice (DCN) deployments need Ry % n_slices == 0 so hybrid_shape
+    can band whole rows per slice (roadmap item: slice-aware mesh policy)."""
+    # N=8 over 2 slices: plain policy (4,2) already bands
+    assert factors(8, n_slices=2) == (4, 2)
+    # N=8 over 4 slices: (4,2) cannot band 4 slices; (2,4) can
+    assert factors(8, n_slices=4) == (2, 4)
+    # special-case table entry rejected when not slice-admissible
+    assert factors(16, n_slices=8) == (2, 8)
+    # slice admissibility outranks kernel alignment: Nx=1536, N=8, 4 slices
+    rx, ry = factors(8, global_nx=1536, n_slices=4)
+    assert ry % 4 == 0
+    # and when both are satisfiable, both hold
+    rx, ry = factors(8, global_nx=1024, n_slices=2)
+    assert ry % 2 == 0 and (1024 // rx) % 128 == 0
+
+
+def test_make_mesh_warns_on_unbandable_multislice(monkeypatch):
+    """An explicit shape that cannot band the slices must warn, not silently
+    scatter DCN hops."""
+    import warnings
+
+    import jax
+
+    from gb25_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()[:8]
+    if len(devs) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    # fake a 4-slice deployment: CPU devices have no slice_index attribute,
+    # so wrap them (duck-typed: make_mesh only reads slice_index; the flat
+    # fallback path reshapes the raw list)
+    for i, d in enumerate(devs):
+        monkeypatch.setattr(type(d), "slice_index", property(lambda s: 0), raising=False)
+    # single-slice: no warning, flat mesh
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m = make_mesh(8, devices=devs, shape=(4, 2))
+    assert m.devices.shape == (4, 2)

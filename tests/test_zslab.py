@@ -582,3 +582,23 @@ def test_g_t3_restoring_increment_matches(monkeypatch):
     a, b = step(state), step_t3(state)
     for xa, xb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_cumsum_leading_forms():
+    """Sequential form is bitwise jnp.cumsum order; tree form (the bz=16
+    Mosaic-compile-friendly variant) agrees to f32 rounding."""
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((22, 8, 16)), jnp.float32)
+    from gb25_tpu.ops.pallas_zslab import cumsum_leading
+
+    ref = jnp.cumsum(a.astype(jnp.float64), axis=0)
+    seq = cumsum_leading(a, tree=False)
+    tre = cumsum_leading(a, tree=True)
+    # sequential unroll is bitwise np.add.accumulate order (XLA's own cumsum
+    # is pairwise on some backends, so numpy is the order oracle here)
+    np.testing.assert_array_equal(np.asarray(seq),
+                                  np.cumsum(np.asarray(a), axis=0))
+    np.testing.assert_allclose(np.asarray(tre), np.asarray(ref),
+                               rtol=2e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(ref),
+                               rtol=2e-6, atol=1e-6)
