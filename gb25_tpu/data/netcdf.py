@@ -273,3 +273,226 @@ def load_atmosphere_nc(path):
     out["lon"], out["lat"] = lon_c, lat_c
     out.update(zip(names, canon))
     return out
+
+
+# --------------------------------------------------------------------------
+# Classic NetCDF writer (64-bit-offset CDF-2; public on-disk format, same
+# spec family the reader above decodes).  Dependency-free so simulation
+# outputs are CF-readable by any standard tool — the reference's analog
+# surface writers are JLD2/NetCDF (simulations/ocean_climate_simulation.jl:
+# 128-134).  Supports one unlimited (record) dimension with O(1) appends:
+# classic record data lives interleaved at the file tail, so appending a
+# record is a pure append plus a numrecs header patch.
+# --------------------------------------------------------------------------
+
+_NC_TYPES = {
+    np.dtype("int8"): (1, 1), np.dtype("S1"): (2, 1),
+    np.dtype(">i2"): (3, 2), np.dtype(">i4"): (4, 4),
+    np.dtype(">f4"): (5, 4), np.dtype(">f8"): (6, 8),
+}
+
+
+def _nc_type(dtype):
+    dt = np.dtype(dtype).newbyteorder(">")
+    if dt.kind == "i" and dt.itemsize == 1:
+        dt = np.dtype("int8")
+    elif dt.kind == "i" and dt.itemsize == 8:
+        dt = np.dtype(">i4")  # classic has no int64; narrow (attr/ints only)
+    elif dt.kind == "b":
+        dt = np.dtype("int8")
+    if dt not in _NC_TYPES:
+        raise TypeError(f"classic NetCDF cannot store dtype {dtype}")
+    return dt, *_NC_TYPES[dt]
+
+
+def _pad4(n):
+    return (4 - n % 4) % 4
+
+
+class NetCDF3Writer:
+    """Minimal classic-NetCDF writer (CDF-2).
+
+    Usage::
+
+        w = NetCDF3Writer(path, dims={"time": None, "lat": 8, "lon": 16},
+                          global_attrs={"title": "..."})
+        w.define("lat", ("lat",), np.float64, {"units": "degrees_north"})
+        w.define("sst", ("time", "lat", "lon"), np.float32,
+                 {"units": "degC"})
+        w.write("lat", lats)                 # non-record variables
+        w.append(sst=frame0); w.append(sst=frame1)   # record variables
+        w.close()
+
+    ``dims`` is ordered; at most one dimension may be None (the record /
+    unlimited dimension, which must be a variable's *first* dimension).
+    """
+
+    def __init__(self, path, dims, global_attrs=None):
+        self.path = path
+        self.dims = dict(dims)
+        unlimited = [d for d, n in self.dims.items() if n is None]
+        if len(unlimited) > 1:
+            raise ValueError("classic NetCDF allows one unlimited dimension")
+        self.rec_dim = unlimited[0] if unlimited else None
+        self.gatts = dict(global_attrs or {})
+        self._vars = {}  # name -> (dims, np_be_dtype, nc_type, attrs)
+        self._static_data = {}
+        self._f = None
+        self.numrecs = 0
+
+    def define(self, name, dim_names, dtype, attrs=None):
+        if self._f is not None:
+            raise RuntimeError("header already written")
+        for d in dim_names:
+            if d not in self.dims:
+                raise KeyError(f"unknown dimension {d!r}")
+        if self.rec_dim in dim_names and dim_names[0] != self.rec_dim:
+            raise ValueError("record dimension must come first")
+        dt, code, _ = _nc_type(dtype)
+        self._vars[name] = (tuple(dim_names), dt, code, dict(attrs or {}))
+
+    def write(self, name, array):
+        dims, dt, _, _ = self._vars[name]
+        if self.rec_dim in dims:
+            raise ValueError(f"{name} is a record variable; use append()")
+        shape = tuple(self.dims[d] for d in dims)
+        a = np.ascontiguousarray(np.asarray(array), dt).reshape(shape)
+        self._static_data[name] = a
+
+    # -- header encoding ----------------------------------------------------
+    @staticmethod
+    def _name(s):
+        b = s.encode()
+        return _i4(len(b)) + b + b"\x00" * _pad4(len(b))
+
+    def _atts(self, atts):
+        if not atts:
+            return _i4(0) + _i4(0)
+        out = [_i4(0x0C), _i4(len(atts))]
+        for k, v in atts.items():
+            out.append(self._name(k))
+            if isinstance(v, str):
+                b = v.encode()
+                out += [_i4(2), _i4(len(b)), b, b"\x00" * _pad4(len(b))]
+            else:
+                a = np.atleast_1d(np.asarray(v))
+                dt, code, size = _nc_type(a.dtype)
+                a = a.astype(dt)
+                out += [_i4(code), _i4(a.size), a.tobytes(),
+                        b"\x00" * _pad4(a.size * size)]
+        return b"".join(out)
+
+    def _vsize(self, name):
+        dims, dt, _, _ = self._vars[name]
+        n = 1
+        for d in dims:
+            if d != self.rec_dim:
+                n *= self.dims[d]
+        n *= dt.itemsize
+        return n + _pad4(n)
+
+    def _write_header(self):
+        dim_ids = {d: i for i, d in enumerate(self.dims)}
+        rec_vars = [n for n, v in self._vars.items() if self.rec_dim in v[0]]
+        # single record variable: no per-record chunk padding (spec quirk)
+        self._single_rec = len(rec_vars) == 1
+
+        head = [b"CDF\x02", _i4(0)]
+        head += [_i4(0x0A), _i4(len(self.dims))]
+        for d, n in self.dims.items():
+            head += [self._name(d), _i4(0 if n is None else n)]
+        head.append(self._atts(self.gatts))
+
+        # lay out variables: compute begins after the header; static first,
+        # then the record block
+        body = []
+        for name, (dims, dt, code, atts) in self._vars.items():
+            b = [self._name(name), _i4(len(dims))]
+            b += [_i4(dim_ids[d]) for d in dims]
+            b += [self._atts(atts), _i4(code), _i4(self._vsize(name))]
+            body.append(b"".join(b))
+        # header size with 8-byte begins (CDF-2)
+        hsize = sum(len(h) for h in head) + _i4(0x0B).__len__() + 4
+        hsize += sum(len(b) + 8 for b in body)
+
+        offset = hsize
+        begins = []
+        for name in self._vars:
+            if self.rec_dim in self._vars[name][0]:
+                begins.append(None)
+                continue
+            begins.append(offset)
+            offset += self._vsize(name)
+        self._rec_begin = offset
+        self._rec_offsets = {}
+        self._recsize = 0
+        for name in rec_vars:
+            self._rec_offsets[name] = self._recsize
+            vs = self._vsize(name)
+            if self._single_rec:
+                vs -= _pad4(self._vsize_raw(name))
+            self._recsize += vs
+        for i, name in enumerate(self._vars):
+            if begins[i] is None:
+                begins[i] = self._rec_begin + self._rec_offsets[name]
+
+        f = open(self.path, "wb")
+        for h in head:
+            f.write(h)
+        f.write(_i4(0x0B))
+        f.write(_i4(len(self._vars)))
+        for b, beg in zip(body, begins):
+            f.write(b)
+            f.write(beg.to_bytes(8, "big"))
+        assert f.tell() == hsize, (f.tell(), hsize)
+        for name, (dims, dt, _, _) in self._vars.items():
+            if self.rec_dim in dims:
+                continue
+            a = self._static_data.get(name)
+            if a is None:  # undefined static data: zero fill
+                shape = tuple(self.dims[d] for d in dims)
+                a = np.zeros(shape, dt)
+            f.write(a.tobytes())
+            f.write(b"\x00" * _pad4(a.nbytes))
+        self._f = f
+
+    def _vsize_raw(self, name):
+        dims, dt, _, _ = self._vars[name]
+        n = dt.itemsize
+        for d in dims:
+            if d != self.rec_dim:
+                n *= self.dims[d]
+        return n
+
+    def append(self, **record_vars):
+        """Append one record (all record variables at once, in any order)."""
+        if self._f is None:
+            self._write_header()
+        f = self._f
+        f.seek(self._rec_begin + self.numrecs * self._recsize)
+        for name in self._vars:
+            if name not in self._rec_offsets:
+                continue
+            dims, dt, _, _ = self._vars[name]
+            if name not in record_vars:
+                raise KeyError(f"record variable {name} missing from append()")
+            shape = tuple(self.dims[d] for d in dims if d != self.rec_dim)
+            a = np.ascontiguousarray(np.asarray(record_vars[name]), dt)
+            a = a.reshape(shape)
+            f.write(a.tobytes())
+            if not self._single_rec:
+                f.write(b"\x00" * _pad4(a.nbytes))
+        self.numrecs += 1
+        f.seek(4)
+        f.write(_i4(self.numrecs))
+        f.flush()
+
+    def close(self):
+        if self._f is None:
+            self._write_header()
+        self._f.close()
+        self._f = None
+
+
+def _i4(n):
+    return int(n).to_bytes(4, "big", signed=False)

@@ -59,3 +59,63 @@ def read_series(directory, name, prefix="out"):
             times.append(float(d["time"]))
             vals.append(d[name])
     return np.asarray(times), np.stack(vals) if vals else np.empty((0,))
+
+
+class NetCDFOutputWriter:
+    """CF-readable surface-diagnostics writer: one classic NetCDF file with
+    an unlimited time dimension, appended in O(1) per firing (reference
+    analog: the JLD2 surface writer on a TimeInterval schedule,
+    simulations/ocean_climate_simulation.jl:128-134; NetCDF here so any
+    standard tool reads the output).
+
+    ``grid`` supplies coordinate variables; 2-D (x, y) diagnostics only
+    (the standard surface set).  Same ``maybe_write(sim)`` protocol as
+    NPZOutputWriter.
+    """
+
+    def __init__(self, path, grid, outputs=None, interval_seconds=86400.0,
+                 attrs=None):
+        from gb25_tpu.data.netcdf import NetCDF3Writer
+
+        self.outputs = outputs or STANDARD_OUTPUTS
+        self.interval = interval_seconds
+        self._last_write_time = None
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+        dims = {"time": None, "x": grid.Nx, "y": grid.Ny}
+        w = NetCDF3Writer(path, dims, global_attrs={
+            "title": "gb25_tpu surface diagnostics",
+            "source": "gb25_tpu", **(attrs or {}),
+        })
+        w.define("time", ("time",), np.float64,
+                 {"units": "seconds since simulation start", "axis": "T"})
+        w.define("iteration", ("time",), np.int32, {})
+        # curvilinear grids carry 2-D coordinate fields; lat-lon carries 1-D
+        phi2 = getattr(grid, "phi2_c", None)
+        if phi2 is not None:
+            w.define("lon", ("x", "y"), np.float64, {"units": "degrees_east"})
+            w.define("lat", ("x", "y"), np.float64, {"units": "degrees_north"})
+            w.write("lon", np.asarray(grid.lam2_c))
+            w.write("lat", np.asarray(phi2))
+        else:
+            w.define("lon", ("x",), np.float64, {"units": "degrees_east"})
+            w.define("lat", ("y",), np.float64, {"units": "degrees_north"})
+            w.write("lon", np.asarray(grid.lam_c_i))
+            w.write("lat", np.asarray(grid.phi_c_i))
+        for name in self.outputs:
+            w.define(name, ("time", "x", "y"), np.float32,
+                     {"coordinates": "lon lat"})
+        self._w = w
+
+    def maybe_write(self, sim):
+        t = sim.time
+        if self._last_write_time is not None and t - self._last_write_time < self.interval - 1e-9:
+            return
+        self._last_write_time = t
+        rec = {k: np.asarray(jax.device_get(fn(sim.state)), np.float32)
+               for k, fn in self.outputs.items()}
+        self._w.append(time=np.float64(t), iteration=np.int32(sim.iteration),
+                       **rec)
+
+    def close(self):
+        self._w.close()

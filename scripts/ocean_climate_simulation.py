@@ -45,6 +45,9 @@ def main():
     p.add_argument("--climatology", default=None, help="climatology.npz (ECCO analog)")
     p.add_argument("--atmosphere", default=None, help="atmosphere.npz (JRA55 analog)")
     p.add_argument("--output-dir", default="climate_output")
+    p.add_argument("--output-format", default="npz", choices=["npz", "netcdf"],
+                   help="netcdf = one CF-readable classic .nc file with an "
+                        "unlimited time axis (io/output.py::NetCDFOutputWriter)")
     p.add_argument("--float-type", default="f32")
     args = p.parse_args()
 
@@ -107,8 +110,19 @@ def main():
         step_fn=step_fn,
     )
     sim.add_callback(progress_callback, IterationInterval(10))
-    sim.add_output_writer(NPZOutputWriter(args.output_dir, interval_seconds=3 * 86400.0))
+    if args.output_format == "netcdf":
+        from gb25_tpu.io.output import NetCDFOutputWriter
+
+        writer = NetCDFOutputWriter(
+            os.path.join(args.output_dir, "surface.nc"), grid,
+            interval_seconds=3 * 86400.0,
+        )
+    else:
+        writer = NPZOutputWriter(args.output_dir, interval_seconds=3 * 86400.0)
+    sim.add_output_writer(writer)
     sim.run()
+    if args.output_format == "netcdf":
+        writer.close()
     print(f"done: iteration={sim.iteration} t={sim.time / 86400:.2f} days "
           f"wall={sim.run_wall_time:.1f}s")
 

@@ -193,3 +193,55 @@ def test_preamble_honors_platform_pin(monkeypatch):
     # restore the pin for the rest of the suite (conftest set it)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     jax.config.update("jax_platforms", "cpu")
+
+
+def test_netcdf_output_writer(setup, tmp_path):
+    """CF-interoperable surface output: one classic NetCDF with an unlimited
+    time axis, read back through the repo's own reader (which routes classic
+    files through scipy — an independent decoder, so this is a true
+    format-conformance round trip)."""
+    from gb25_tpu.data.netcdf import read_netcdf
+    from gb25_tpu.io.output import NetCDFOutputWriter
+
+    cfg, grid, state = setup
+    path = str(tmp_path / "surf.nc")
+    sim = Simulation(cfg, grid, state, dt=60.0, stop_iteration=12, inner_steps=4)
+    w = NetCDFOutputWriter(path, grid, interval_seconds=240.0)
+    sim.add_output_writer(w)
+    sim.run()
+    w.close()
+
+    v, dims, attrs = read_netcdf(path)
+    assert dims["eta"] == ("time", "x", "y")
+    assert v["eta"].shape[1:] == (16, 8)
+    assert v["eta"].shape[0] >= 3
+    assert v["time"].shape == v["iteration"].shape
+    assert np.all(np.diff(v["time"]) > 0)
+    assert np.isfinite(v["T_surface"]).all()
+    assert v["lon"].shape == (16,) and v["lat"].shape == (8,)
+    assert attrs["lat"]["units"] == "degrees_north"
+
+
+def test_netcdf_writer_tripolar_coords(tmp_path):
+    """Curvilinear grids store 2-D lon/lat coordinate fields."""
+    from gb25_tpu.data.netcdf import read_netcdf
+    from gb25_tpu.grids.tripolar import tripolar_grid
+    from gb25_tpu.io.output import NetCDFOutputWriter
+
+    grid = tripolar_grid(16, 8, 4, dtype=jnp.float64)
+
+    class _Sim:
+        pass
+
+    from gb25_tpu.models import baroclinic_instability_state
+
+    s = baroclinic_instability_state(grid)
+    sim = _Sim(); sim.state = s; sim.time = 0.0; sim.iteration = 0
+    path = str(tmp_path / "tri.nc")
+    w = NetCDFOutputWriter(path, grid, interval_seconds=1.0)
+    w.maybe_write(sim)
+    w.close()
+    v, dims, _ = read_netcdf(path)
+    assert v["lon"].shape == (16, 8) and v["lat"].shape == (16, 8)
+    assert dims["lon"] == ("x", "y")
+    assert v["eta"].shape == (1, 16, 8)
