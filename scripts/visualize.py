@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Visualize output-writer records (reference analog:
-visualize_ocean_climate_simulation.jl). Reads NPZOutputWriter directories and
-plots surface fields."""
+visualize_ocean_climate_simulation.jl). Reads NPZOutputWriter directories or
+NetCDFOutputWriter .nc files and plots surface fields."""
 
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -13,7 +13,8 @@ import numpy as np
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("output_dir")
+    p.add_argument("output_dir",
+                   help="NPZ writer directory, or a NetCDF .nc output file")
     p.add_argument("--field", default="T_surface")
     p.add_argument("--frame", type=int, default=-1)
     p.add_argument("--out", default=None)
@@ -26,7 +27,13 @@ def main():
 
     from gb25_tpu.io import read_series
 
-    times, data = read_series(args.output_dir, args.field)
+    if args.output_dir.endswith(".nc"):
+        from gb25_tpu.data.netcdf import read_netcdf
+
+        v, _, _ = read_netcdf(args.output_dir)
+        times, data = np.asarray(v["time"]), np.asarray(v[args.field])
+    else:
+        times, data = read_series(args.output_dir, args.field)
     if data.size == 0:
         raise SystemExit(f"no records for {args.field} in {args.output_dir}")
     frame = data[args.frame]
