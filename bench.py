@@ -75,13 +75,17 @@ def main():
                    help="tendency backend ablation (auto = z-slab Pallas "
                         "kernel on TPU, XLA array ops elsewhere)")
     p.add_argument("--config", default="baroclinic",
-                   choices=["baroclinic", "climate"],
+                   choices=["baroclinic", "climate", "atmosphere"],
                    help="climate = the reference's actual benchmark "
                         "configuration (data-free climate ocean: tripolar "
                         "grid + gaussian-islands immersed bathymetry + CATKE "
                         "+ coupled air-sea fluxes, "
                         "/root/reference/src/data_free_ocean_climate_model.jl:12-70); "
-                        "grid size from --nx via resolution 384/ (nx/4)")
+                        "grid size from --nx via resolution 384/ (nx/4). "
+                        "atmosphere = the rotating shallow-water companion "
+                        "(the reference's weak-scaling atmosphere benchmark "
+                        "is a SpeedyWeather shallow-water atmosphere, "
+                        "BASELINE.md atmosphere rows; 2-D grid nx x ny)")
     args = p.parse_args()
 
     from gb25_tpu.utils.env import preamble
@@ -145,6 +149,25 @@ def main():
 
         def lp_fn(_cfg, _grid, s, dt, n):
             return _cl(ccfg, _grid, atmos, s, dt, n)
+    elif args.config == "atmosphere":
+        from gb25_tpu.models.shallow_water import (
+            ShallowWaterConfig,
+            shallow_water_state,
+            sw_loop,
+        )
+
+        args.nz = 1  # 2-D model
+        grid = simple_latitude_longitude_grid(args.nx, args.ny, 1, dtype=dtype)
+        cfg = ShallowWaterConfig()
+        state = shallow_water_state(grid, h0=1000.0)
+        # ridge perturbation -> geostrophic jet, so the advection terms carry
+        # physically-scaled magnitudes during the timed loop
+        phi = grid.phi_c_i.reshape(1, -1)
+        state = state.replace(
+            h=state.h + 2.0 * jnp.exp(-((phi - 40.0) ** 2) / 50.0)
+            + 0.0 * grid.lam_c_i.reshape(-1, 1)
+        )
+        lp_fn = sw_loop
     else:
         grid = simple_latitude_longitude_grid(args.nx, args.ny, args.nz, dtype=dtype)
         cfg = baroclinic_instability_config()
@@ -188,8 +211,9 @@ def main():
     # step (AB2 update, split-explicit substeps, halos, diagnostics).
     from gb25_tpu.ops.pallas_zslab import zslab_supported
 
-    uses_zslab = cfg.kernels in ("zslab",) or (
-        cfg.kernels == "auto" and zslab_supported(cfg, grid, state.u)
+    uses_zslab = args.config != "atmosphere" and (
+        cfg.kernels in ("zslab",)
+        or (cfg.kernels == "auto" and zslab_supported(cfg, grid, state.u))
     )
     bytes_per_step = None
     if not uses_zslab:
@@ -211,14 +235,19 @@ def main():
         # the 5th prognostic tracer (e), CATKE diffusivity columns, the
         # implicit vertical solves, immersed masking, and the interface
         # fluxes — roughly +28 passes by the same accounting.
-        passes = (70 if args.config == "climate" else 42) if uses_zslab else 170
+        if args.config == "atmosphere":
+            # SW step: 3 extended reads + 3 G + 3 updated writes + stencil
+            # temporaries ~ 15 full-array passes
+            passes = 15
+        else:
+            passes = (70 if args.config == "climate" else 42) if uses_zslab else 170
         bytes_per_step = passes * cells * jnp.dtype(dtype).itemsize
     hbm_gbs = bytes_per_step * args.steps / elapsed / 1e9
     peak = peak_hbm_gbs()
 
     extra = {
         "ms_per_step": round(ms_per_step, 2),
-        "kernels": "zslab" if uses_zslab else cfg.kernels,
+        "kernels": "zslab" if uses_zslab else getattr(cfg, "kernels", "jnp"),
         "hbm_gbs_est": round(hbm_gbs, 1),
         "hbm_pct_peak": round(100.0 * hbm_gbs / peak, 1) if peak else None,
         "steps": args.steps,
@@ -226,6 +255,14 @@ def main():
 
     if args.config == "climate":
         extra["config"] = "climate"
+    elif args.config == "atmosphere":
+        # The reference's atmosphere companion is a spectral shallow-water
+        # model (SpeedyWeather) whose per-GPU tile size is unpublished
+        # (BASELINE.md: 152.2 -> 147.0 s per 256-step loop, 128 -> 3872
+        # GPUs), so a cell-normalized vs_baseline is not well defined —
+        # report ms/step and the reference's wall numbers alongside.
+        extra["config"] = "atmosphere"
+        extra["ref_seconds_per_256_steps_alps"] = 152.2
 
     if not args.no_precision_rows and args.compute_dtype is None and args.config == "baroclinic":
         # Precision companion rows (VERDICT r2 item 7): one LOWERED precision
@@ -253,14 +290,16 @@ def main():
     print(
         json.dumps(
             {
-                "metric": ("data_free_climate_ocean" if args.config == "climate"
-                           else "baroclinic_instability")
+                "metric": {"climate": "data_free_climate_ocean",
+                           "atmosphere": "shallow_water_atmosphere"}.get(
+                               args.config, "baroclinic_instability")
                 + " cell-steps/s/device "
                 f"({args.nx}x{args.ny}x{args.nz}, {args.steps} steps, "
                 f"{args.dtype}, ms/step={ms_per_step:.2f})",
                 "value": round(cell_steps_per_sec, 1),
                 "unit": "cell-steps/s",
-                "vs_baseline": round(cell_steps_per_sec / REFERENCE_CELL_STEPS_PER_SEC, 4),
+                "vs_baseline": (None if args.config == "atmosphere" else round(
+                    cell_steps_per_sec / REFERENCE_CELL_STEPS_PER_SEC, 4)),
                 **extra,
             }
         )

@@ -32,6 +32,19 @@ def test_bench_json_contract():
     assert out["unit"] == "cell-steps/s"
 
 
+def test_bench_atmosphere_row_contract():
+    # the shallow-water atmosphere companion (BASELINE.md atmosphere rows)
+    r = _run(["bench.py", "--config", "atmosphere", "--nx", "64", "--ny", "32",
+              "--steps", "2", "--warmup", "1", "--no-precision-rows"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["config"] == "atmosphere"
+    assert out["value"] > 0
+    assert out["vs_baseline"] is None  # reference tile size unpublished
+    assert out["metric"].startswith("shallow_water_atmosphere")
+
+
 import pytest
 
 
