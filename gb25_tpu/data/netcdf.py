@@ -154,13 +154,19 @@ def _canonicalize_lonlat(lon, lat, *fields):
     lon = np.asarray(lon, dtype=np.float64) % 360.0
     roll = int(np.argmin(lon))  # first index of the ascending cycle
     lon = np.roll(lon, -roll)
+    # grid-registered products (e.g. ETOPO1 *_g_gmt4) carry BOTH endpoints
+    # -180 and +180, which alias to the same meridian after % 360 — drop the
+    # later duplicate (the rows are the same physical data) instead of
+    # rejecting the axis
+    keep = np.concatenate([[True], np.diff(lon) > 0.0])
+    lon = lon[keep]
     if np.any(np.diff(lon) <= 0):
         raise ValueError("longitude axis is not a single ascending cycle")
     flip = len(lat) > 1 and lat[1] < lat[0]
     lat = np.asarray(lat, dtype=np.float64)[::-1] if flip else np.asarray(lat, dtype=np.float64)
     out = []
     for f in fields:
-        f = np.roll(f, -roll, axis=0)
+        f = np.roll(f, -roll, axis=0)[keep]
         if flip:
             f = f[:, ::-1]
         out.append(f)
@@ -187,7 +193,7 @@ def parse_time_units(times, units, calendar=None):
     if scale is None:
         return times
     t = times * scale
-    return t - t[0]
+    return t - t[0] if t.size else t
 
 
 def _to_lonlat_leading(a, nlon, nlat):
@@ -352,6 +358,11 @@ class NetCDF3Writer:
         self._vars[name] = (tuple(dim_names), dt, code, dict(attrs or {}))
 
     def write(self, name, array):
+        if self._f is not None:
+            # the static section was laid out (zero-filled for any variable
+            # not yet written) when the first append() flushed the header —
+            # accepting data now would silently discard it
+            raise RuntimeError("header already written; write() statics before the first append()")
         dims, dt, _, _ = self._vars[name]
         if self.rec_dim in dims:
             raise ValueError(f"{name} is a record variable; use append()")

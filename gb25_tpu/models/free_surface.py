@@ -53,6 +53,21 @@ def _crop2(grid, a, h=1):
     return a[h : h + grid.Nx, h : h + grid.Ny]
 
 
+def _make_zint(dz):
+    """Depth-integral helpers over an interior ``dz`` slab: ``zint`` for
+    (X, Y, Z) fields and ``zint_t3`` for transposed (Z, Y, X) fields
+    (returning the (X, Y) integral either way)."""
+
+    def zint(a):
+        return jnp.sum(a * dz, axis=2)
+
+    def zint_t3(a):
+        dzt = jnp.transpose(dz, (2, 1, 0))
+        return jnp.transpose(jnp.sum(a * dzt, axis=0), (1, 0))
+
+    return zint, zint_t3
+
+
 def _metrics2(grid, h=1):
     """2-D metric slices with halo width h (grid metrics carry width hx/hy).
     Lat-lon metrics are (1, Ny+2hy, 1); tripolar metrics are fully 2-D."""
@@ -76,10 +91,12 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
     Latency optimization (SURVEY.md hard part (b)): instead of two width-1
     halo exchanges per substep (2 x 30 rounds of thin ppermutes per model
     step — pure latency at scale), halos of width W (= grid halo) are
-    exchanged once per *block*; each forward-backward substep consumes two
-    ghost rings (one for the divergence, one for the surface gradient), so a
-    block covers floor(W/2) substeps: 30 substeps need 15 exchange rounds
-    instead of 60, with identical interior arithmetic.
+    exchanged once per *block*; each forward-backward substep consumes ONE
+    ghost ring (the eta and U half-steps are sequentially dependent: eta
+    reads U one ring out, then U reads the just-updated eta at its own
+    ring), so a block covers W substeps: 30 substeps with W=8 need 4
+    exchange rounds instead of 30.  Interior arithmetic is identical up to
+    a bounded wall-ghost drift (see per_block below).
     """
     fs = cfg.free_surface
     g = fs.gravitational_acceleration
@@ -90,13 +107,7 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
 
     hz, Nz = grid.hz, grid.Nz
     dz = grid.dz_c[:, :, hz : hz + Nz]
-
-    def zint(a):
-        return jnp.sum(a * dz, axis=2)
-
-    def zint_t3(a):  # transposed (Z, Y, X) field -> (X, Y) integral
-        dzt = jnp.transpose(dz, (2, 1, 0))
-        return jnp.transpose(jnp.sum(a * dzt, axis=0), (1, 0))
+    zint, zint_t3 = _make_zint(dz)
 
     zint_u = zint_t3 if uv_t3 else zint
     U0, V0 = zint(state.u), zint(state.v)
@@ -117,12 +128,19 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
     # shrinking W locally.
     W = min(grid.hx, grid.hy, grid.Nx - 1, grid.Ny - 1)
     W = max(W, 1)
-    # substeps supported per exchange: each substep invalidates one halo
-    # ring of eta and one of (U, V) — the continuity update at ring r reads
-    # U at r+1, the pressure gradient at ring r reads the just-updated eta
-    # at r — so k substeps consume k rings and a width-W exchange supports
-    # W substeps (validated bitwise against exchange-every-substep in
-    # tests/test_barotropic_kernel.py::test_per_block_width_is_exact).
+    # substeps supported per exchange: each FB substep advances the invalid
+    # front by exactly ONE ring (the continuity update at ring r reads U at
+    # r+1; the pressure gradient then reads the just-updated eta at its own
+    # ring), so a width-W exchange supports W substeps.  The bound is sharp:
+    # tests/test_barotropic_kernel.py::test_per_block_width_is_exact proves
+    # by NaN-poisoning that a width W-1 halo survives exactly W-1 substeps.
+    # Blocked vs exchange-every-substep is NOT bitwise at physical walls:
+    # wall ghost rows evolve in-block with their own (latitude-asymmetric)
+    # metrics instead of being re-mirrored each substep, a roundoff-scale
+    # drift (~1e-9 abs) re-zeroed at every exchange
+    # (test_per_block_agrees_with_every_substep); x-periodic and
+    # shard-interface ghosts evolve bitwise-exactly.  The serial whole-loop
+    # kernel (pallas_barotropic_loop) instead re-imposes BCs every substep.
     # NOTE: serial and distributed runs must use the same value for bitwise
     # agreement; override via GB25_BAROTROPIC_BLOCK for experiments only.
     import os
@@ -264,13 +282,7 @@ def _finish(grid, state, u_star, v_star, eta_b, U_b, V_b, Hu, Hv, uv_t3=False):
     # a 2-D broadcast, so only the thin plane quantities transpose
     hz, Nz = grid.hz, grid.Nz
     dz = grid.dz_c[:, :, hz : hz + Nz]
-
-    def zint(a):
-        return jnp.sum(a * dz, axis=2)
-
-    def zint_t3(a):
-        dzt = jnp.transpose(dz, (2, 1, 0))
-        return jnp.transpose(jnp.sum(a * dzt, axis=0), (1, 0))
+    zint, zint_t3 = _make_zint(dz)
 
     zint_u = zint_t3 if uv_t3 else zint
     Hu_safe = jnp.maximum(Hu, 1e-30)

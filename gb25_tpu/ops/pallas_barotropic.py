@@ -301,10 +301,11 @@ def pallas_barotropic_loop(cfg, grid, eta0, U0, V0, GU, GV, Hu, Hv, dt,
 # planes entirely in VMEM.  Boundary semantics (wall/mirror/periodic/fold/
 # neighbor) enter purely through the exchanged halo values — the kernel
 # itself is translation-invariant (wrap shifts; the outermost rings carry
-# garbage that propagates inward by at most two rings per substep, exactly
-# the blocked array path's validity argument, models/free_surface.py:74-82).
+# garbage that propagates inward by exactly ONE ring per substep — the
+# blocked array path's validity argument, proven sharp by NaN-poisoning in
+# tests/test_barotropic_kernel.py::test_per_block_width_is_exact).
 # Between kernel calls the caller re-exchanges halos (ppermute under
-# shard_map, local BC fill serially), so 30 substeps cost ceil(M/(W//2))
+# shard_map, local BC fill serially), so 30 substeps cost ceil(M/W)
 # kernel launches instead of ~300 small array ops.
 
 

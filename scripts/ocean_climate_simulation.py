@@ -44,6 +44,11 @@ def main():
     p.add_argument("--bathymetry", default=None, help="bathymetry.npz (ETOPO analog)")
     p.add_argument("--climatology", default=None, help="climatology.npz (ECCO analog)")
     p.add_argument("--atmosphere", default=None, help="atmosphere.npz (JRA55 analog)")
+    p.add_argument("--no-pre-regrid", action="store_true",
+                   help="keep atmosphere records on their native grid and "
+                        "gather per step (for records too large to "
+                        "materialize at ocean resolution, e.g. a year of "
+                        "3-hourly JRA55-do at the flagship grid)")
     p.add_argument("--output-dir", default="climate_output")
     p.add_argument("--output-format", default="npz", choices=["npz", "netcdf"],
                    help="netcdf = one CF-readable classic .nc file with an "
@@ -75,7 +80,8 @@ def main():
     if args.atmosphere:
         from gb25_tpu.data import file_prescribed_atmosphere
 
-        atmos = file_prescribed_atmosphere(grid, args.atmosphere)
+        atmos = file_prescribed_atmosphere(grid, args.atmosphere,
+                                           pre_regrid=not args.no_pre_regrid)
     else:
         atmos = data_free_atmosphere(grid, dtype=dtype)
 

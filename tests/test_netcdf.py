@@ -248,3 +248,60 @@ def test_etopo_lon180_bathymetry_regrid(tmp_path):
     iw = np.argmin(np.abs(np.asarray(grid.lam_c_i) - 270.0))
     assert bh[ic].max() > -2100.0                        # shallows at 90E...
     assert bh[iw].max() < -3000.0                        # ...not aliased to 270E
+
+
+def test_etopo_grid_registered_duplicate_endpoint(tmp_path):
+    """Grid-registered ETOPO (*_g_gmt4: lon = -180..180 INCLUSIVE) carries
+    both endpoints of the same meridian; the duplicate must be dropped, not
+    rejected (docs/DATA.md's one-command recipe downloads exactly this)."""
+    from scipy.io import netcdf_file
+
+    p = str(tmp_path / "etopo_g.nc")
+    Na, Ma = 37, 18  # 37 lon points: -180, -170, ..., 170, 180
+    lon = np.linspace(-180.0, 180.0, Na)
+    lat = -90.0 + (np.arange(Ma) + 0.5) * (180.0 / Ma)
+    z = np.full((Na, Ma), -4000.0)
+    z[np.argmin(np.abs(lon - 90.0)), :] = -100.0
+    z[0, :] = -50.0   # the -180 row...
+    z[-1, :] = -50.0  # ...and its +180 alias carry the same physics
+    with netcdf_file(p, "w") as nc:
+        nc.createDimension("lon", Na)
+        nc.createDimension("lat", Ma)
+        nc.createVariable("lon", "d", ("lon",))[:] = lon
+        nc.createVariable("lat", "d", ("lat",))[:] = lat
+        vz = nc.createVariable("z", "h", ("lat", "lon"))
+        vz[:] = z.T.astype(np.int16)
+    got_lon, got_lat, got_z = load_bathymetry_nc(p)
+    assert len(got_lon) == Na - 1                       # duplicate dropped
+    assert np.all(np.diff(got_lon) > 0) and got_lon.min() >= 0.0
+    assert got_z.shape[0] == Na - 1                     # fields stay aligned
+    i90 = np.argmin(np.abs(got_lon - 90.0))
+    assert got_z[i90, 0] == -100.0
+    i180 = np.argmin(np.abs(got_lon - 180.0))
+    assert got_z[i180, 0] == -50.0
+
+
+def test_parse_time_units_empty_axis():
+    """A zero-record unlimited time axis (file created but never appended)
+    must come back empty, not crash on t[0]."""
+    from gb25_tpu.data.netcdf import parse_time_units
+
+    out = parse_time_units(np.array([]), "hours since 1958-01-01")
+    assert out.shape == (0,)
+
+
+def test_writer_static_after_append_raises(tmp_path):
+    """write() after the first append() must raise: the static section was
+    already laid out (zero-filled), so the data would be silently lost."""
+    from gb25_tpu.data.netcdf import NetCDF3Writer, read_netcdf
+
+    p = str(tmp_path / "w.nc")
+    w = NetCDF3Writer(p, {"time": None, "lat": 4})
+    w.define("lat", ("lat",), np.float64)
+    w.define("sst", ("time", "lat"), np.float32)
+    w.append(sst=np.arange(4, dtype=np.float32))
+    with pytest.raises(RuntimeError, match="header already written"):
+        w.write("lat", np.arange(4.0))
+    w.close()
+    variables, _, _ = read_netcdf(p)
+    assert variables["sst"].shape == (1, 4)

@@ -210,16 +210,31 @@ def test_make_mesh_warns_on_unbandable_multislice(monkeypatch):
 
     devs = jax.devices()[:8]
     if len(devs) < 8:
-        import pytest
-
         pytest.skip("needs 8 virtual devices")
-    # fake a 4-slice deployment: CPU devices have no slice_index attribute,
-    # so wrap them (duck-typed: make_mesh only reads slice_index; the flat
-    # fallback path reshapes the raw list)
-    for i, d in enumerate(devs):
-        monkeypatch.setattr(type(d), "slice_index", property(lambda s: 0), raising=False)
     # single-slice: no warning, flat mesh
+    monkeypatch.setattr(type(devs[0]), "slice_index", property(lambda s: 0),
+                        raising=False)
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         m = make_mesh(8, devices=devs, shape=(4, 2))
     assert m.devices.shape == (4, 2)
+
+    # fake a 4-slice deployment (2 devices per slice) on the CPU device
+    # type: make_mesh only reads slice_index
+    monkeypatch.setattr(type(devs[0]), "slice_index",
+                        property(lambda s: s.id // 2), raising=False)
+    # (4, 2) cannot band 4 slices (ry=2 % 4 != 0): must warn and fall back
+    # to a flat device order rather than crash or stay silent
+    with pytest.warns(UserWarning, match="cannot band"):
+        m = make_mesh(8, devices=devs, shape=(4, 2))
+    assert m.devices.shape == (4, 2)
+    # (2, 4) bands: hybrid mesh, y contiguous per slice, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m = make_mesh(8, devices=devs, shape=(2, 4))
+    assert m.devices.shape == (2, 4)
+    # banding: with 4 slices over ry=4, each y index is one whole slice —
+    # the x (ICI) axis never crosses a slice boundary
+    slice_of = lambda d: d.id // 2
+    for y in range(4):
+        assert len({slice_of(d) for d in m.devices[:, y]}) == 1
