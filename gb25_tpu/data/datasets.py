@@ -47,6 +47,23 @@ def _regrid2d(src_lon, src_lat, field, dst_lon, dst_lat):
             + (1 - wx) * wy * f01 + wx * wy * f11)
 
 
+def _interp_z_columns(zc, zl, F):
+    """Vectorized per-column linear z interpolation with ``np.interp``
+    semantics (clamped to the end values outside the level range).
+
+    ``F``: (..., L) sampled at ascending ``zl``; returns (..., len(zc)).
+    One fancy-index expression instead of a Python loop over every (i, j)
+    column (~600k np.interp calls at flagship resolution)."""
+    zc = np.asarray(zc, dtype=np.float64)
+    zl = np.asarray(zl, dtype=np.float64)
+    if len(zl) == 1:  # constant column
+        return np.broadcast_to(F[..., 0:1], F.shape[:-1] + (len(zc),)).copy()
+    idx = np.clip(np.searchsorted(zl, zc, side="right"), 1, len(zl) - 1)
+    z0, z1 = zl[idx - 1], zl[idx]
+    w = np.clip((zc - z0) / np.maximum(z1 - z0, 1e-30), 0.0, 1.0)
+    return F[..., idx - 1] * (1.0 - w) + F[..., idx] * w
+
+
 def _is_netcdf(path):
     if not os.path.exists(path):
         return False
@@ -94,7 +111,12 @@ def climatology_restoring(grid, path=None, rate=1.0 / (7 * 86400.0), mask=None,
     """
     dlon, dlat = _dst_coords(grid)
     zc = np.asarray(grid.z_c_i)
-    if path is not None and os.path.exists(path):
+    if path is not None and not os.path.exists(path):
+        # an explicitly requested dataset must not silently degrade to the
+        # synthetic stand-in (mistyped --climatology would otherwise produce
+        # scientifically wrong "ECCO-restored" results with no warning)
+        raise FileNotFoundError(f"climatology dataset not found: {path}")
+    if path is not None:
         if _is_netcdf(path):
             from gb25_tpu.data.netcdf import load_climatology_nc
 
@@ -111,14 +133,8 @@ def climatology_restoring(grid, path=None, rate=1.0 / (7 * 86400.0), mask=None,
         S = np.stack([_regrid2d(lon, lat, Ssrc[..., k], dlon, dlat)
                       for k in range(len(zl))], axis=-1)
         order = np.argsort(zl)
-        Tg = np.stack([
-            np.stack([np.interp(zc, zl[order], T[i, j][order]) for j in range(grid.Ny)])
-            for i in range(grid.Nx)
-        ])
-        Sg = np.stack([
-            np.stack([np.interp(zc, zl[order], S[i, j][order]) for j in range(grid.Ny)])
-            for i in range(grid.Nx)
-        ])
+        Tg = _interp_z_columns(zc, zl[order], T[..., order])
+        Sg = _interp_z_columns(zc, zl[order], S[..., order])
     elif synthetic:
         # analytic stand-in with realistic structure
         phi3 = dlat[:, :, None]

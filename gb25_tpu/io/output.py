@@ -27,22 +27,36 @@ STANDARD_OUTPUTS = {
 }
 
 
+def _boundary_crossed(t, interval, last_k):
+    """TimeInterval actuation: fire on the first call (initial record) and
+    whenever model time crosses a *multiple of the interval* — NOT when
+    ``t - last_write >= interval``, which drifts permanently off the aligned
+    boundaries once the first write happens mid-interval (e.g. at the end of
+    the first inner-steps chunk).  Returns (fire, new_last_k)."""
+    k = int(np.floor(t / interval + 1e-9))
+    if last_k is None or k > last_k:
+        return True, k
+    return False, last_k
+
+
 class NPZOutputWriter:
-    """Writes selected diagnostics every ``interval_seconds`` of model time."""
+    """Writes selected diagnostics on every crossing of ``interval_seconds``
+    of model time (aligned boundaries: multiples of the interval), plus one
+    initial record."""
 
     def __init__(self, directory, outputs=None, interval_seconds=86400.0, prefix="out"):
         self.directory = directory
         self.outputs = outputs or STANDARD_OUTPUTS
         self.interval = interval_seconds
         self.prefix = prefix
-        self._last_write_time = None
+        self._last_k = None
         os.makedirs(directory, exist_ok=True)
 
     def maybe_write(self, sim):
         t = sim.time
-        if self._last_write_time is not None and t - self._last_write_time < self.interval - 1e-9:
+        fire, self._last_k = _boundary_crossed(t, self.interval, self._last_k)
+        if not fire:
             return
-        self._last_write_time = t
         arrays = {k: np.asarray(jax.device_get(fn(sim.state))) for k, fn in self.outputs.items()}
         arrays["time"] = np.float64(t)
         arrays["iteration"] = np.int64(sim.iteration)
@@ -79,7 +93,7 @@ class NetCDFOutputWriter:
 
         self.outputs = outputs or STANDARD_OUTPUTS
         self.interval = interval_seconds
-        self._last_write_time = None
+        self._last_k = None
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
         dims = {"time": None, "x": grid.Nx, "y": grid.Ny}
@@ -109,9 +123,9 @@ class NetCDFOutputWriter:
 
     def maybe_write(self, sim):
         t = sim.time
-        if self._last_write_time is not None and t - self._last_write_time < self.interval - 1e-9:
+        fire, self._last_k = _boundary_crossed(t, self.interval, self._last_k)
+        if not fire:
             return
-        self._last_write_time = t
         rec = {k: np.asarray(jax.device_get(fn(sim.state)), np.float32)
                for k, fn in self.outputs.items()}
         self._w.append(time=np.float64(t), iteration=np.int32(sim.iteration),

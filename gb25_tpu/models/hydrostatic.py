@@ -54,6 +54,13 @@ from gb25_tpu.ops.tridiagonal import implicit_vertical_diffusion
 from gb25_tpu.ops.weno import centered2, upwind1, weno5_upwind
 
 
+def _t3(a):
+    """(X, Y, Z) <-> (Z, Y, X) — the kernel layout transform (its own
+    inverse); single definition for this module (ops.pallas_zslab carries
+    the kernel-side twin)."""
+    return jnp.transpose(a, (2, 1, 0))
+
+
 def _row_index(grid, comm):
     """Global y row index of each local row, shape (Ny_local,)."""
     import jax
@@ -298,7 +305,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             catke_diffusivities_kernel,
             catke_kernel_supported,
         )
-        from gb25_tpu.ops.pallas_zslab import _t3, build_t3_operands, zslab_supported
+        from gb25_tpu.ops.pallas_zslab import build_t3_operands, zslab_supported
 
         use_ck = (
             cfg.compute_dtype is None
@@ -321,7 +328,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                 cfg.closure, grid, ue_t, ve_t, be_t, tr_t["e"],
                 t3_outputs=True,
             )
-            Ge_i = jnp.transpose(Ge_t, (2, 1, 0))  # G_e feeds (X,Y,Z) sums
+            Ge_i = _t3(Ge_t)  # G_e feeds (X,Y,Z) sums
             G_e_source_t3 = Ge_t  # transposed-G carry increments (g_t3)
             kappas_t3 = True
         elif use_ck:
@@ -332,7 +339,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                 cfg.closure, grid, _t3(ue), _t3(ve), _t3(be), _t3(tr_e["e"]),
                 t3_outputs=True,
             )
-            Ge_i = jnp.transpose(Ge_t, (2, 1, 0))
+            Ge_i = _t3(Ge_t)
             G_e_source_t3 = Ge_t
             kappas_t3 = True
         else:
@@ -354,8 +361,6 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             catke_kernel_supported,
             keps_diffusivities_kernel,
         )
-        from gb25_tpu.ops.pallas_zslab import _t3
-
         be = buoyancy_field(cfg, grid, tr_e)
         if (cfg.compute_dtype is None and cfg.kernels in ("auto", "zslab")
                 and catke_kernel_supported(cfg, grid, comm)):
@@ -365,8 +370,8 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                     _t3(tr_e["e"]), _t3(tr_e["eps"]), t3_outputs=True,
                 )
             )
-            G_e_source = jnp.transpose(Ge_t, (2, 1, 0))
-            G_eps_source = jnp.transpose(Geps_t, (2, 1, 0))
+            G_e_source = _t3(Ge_t)
+            G_eps_source = _t3(Geps_t)
             G_e_source_t3, G_eps_source_t3 = Ge_t, Geps_t
             kappas_t3 = True
         else:
@@ -640,13 +645,10 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     # layout of its target (the transposes of the thin/elementwise
     # increments are cheap or free; the POINT is that the big G arrays
     # themselves never transpose)
-    def _T(a):
-        return jnp.transpose(a, (2, 1, 0))
-
     def _g_src(src_i, src_t3, want_t3):
         if not want_t3:
             return src_i
-        return src_t3 if src_t3 is not None else _T(src_i)
+        return src_t3 if src_t3 is not None else _t3(src_i)
 
     if G_e_source is not None:
         Gtr["e"] = Gtr["e"] + _g_src(G_e_source, G_e_source_t3, g_t3)
@@ -662,7 +664,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     if restoring is not None:
         for name, (target, rate) in restoring.items():
             inc = rate * (target - state.tracers[name])
-            inc_t = _T(inc) if (g_t3 or upd_t3) else None
+            inc_t = _t3(inc) if (g_t3 or upd_t3) else None
             Gtr[name] = Gtr[name] + (inc_t if g_t3 else inc)
             if updated is not None:
                 tr_upd[name] = tr_upd[name] + dtc1 * (
@@ -709,11 +711,11 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         um, vm = grid.interior(u_mask_e), grid.interior(v_mask_e)
         # the masks are broadcast-computed from 2-D bathymetry, so XLA emits
         # the transposed variant directly (no extra pass)
-        Gu = Gu * (_T(um) if g_t3 else um)
-        Gv = Gv * (_T(vm) if g_t3 else vm)
+        Gu = Gu * (_t3(um) if g_t3 else um)
+        Gv = Gv * (_t3(vm) if g_t3 else vm)
         if updated is not None:
-            u_upd = u_upd * (_T(um) if upd_t3 else um)
-            v_upd = v_upd * (_T(vm) if upd_t3 else vm)
+            u_upd = u_upd * (_t3(um) if upd_t3 else um)
+            v_upd = v_upd * (_t3(vm) if upd_t3 else vm)
     Gv = mask_v_wall(grid, Gv, comm)
     if updated is not None:
         updated = (u_upd, v_upd, tr_upd)
@@ -829,8 +831,8 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
 
         u_mask, v_mask = interior_masks(grid, comm)
         if upd_t3:
-            u_mask = jnp.transpose(u_mask, (2, 1, 0))
-            v_mask = jnp.transpose(v_mask, (2, 1, 0))
+            u_mask = _t3(u_mask)
+            v_mask = _t3(v_mask)
         u_new = u_new * u_mask
         v_new = v_new * v_mask
 
@@ -861,7 +863,7 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
         )
 
         def un_t3(a):
-            return None if a is None else jnp.transpose(a, (2, 1, 0))
+            return None if a is None else _t3(a)
 
         # one support probe decides the stage's layout: if the Pallas solver
         # can't run this shape at all, drop every transposed array up front
@@ -967,11 +969,8 @@ def transpose_G(state):
     (Z, Y, X) layout (the transform is its own inverse). Single source of
     truth for the transposed-G carry contract used by ``loop``,
     ``coupled.coupled_loop`` and the climate run script."""
-    def t3(a):
-        return jnp.transpose(a, (2, 1, 0))
-
-    return state.replace(Gu=t3(state.Gu), Gv=t3(state.Gv),
-                         Gtracers={k: t3(v) for k, v in state.Gtracers.items()})
+    return state.replace(Gu=_t3(state.Gu), Gv=_t3(state.Gv),
+                         Gtracers={k: _t3(v) for k, v in state.Gtracers.items()})
 
 
 def g_t3_loop(step_body, state, n):

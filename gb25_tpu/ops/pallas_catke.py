@@ -91,12 +91,17 @@ def column_closure_kernel(grid, fields_t, zrows, planes, math, n_out,
     gy = min(int(os.environ.get("GB25_CATKE_GY", "4")), hy)
     if gy < 1:
         raise ValueError("column-closure kernel needs a y window halo >= 1")
+    # bf16-storage windows need the 16-sublane quantum (as in pallas_zslab)
+    subq = 16 if up else 8
     by = by or (int(os.environ["GB25_CATKE_BY"]) if "GB25_CATKE_BY" in os.environ
-                else _pick_by(Ny, gy, 24, 8))
+                else _pick_by(Ny, gy, 24, subq))
+    if Ny % by:
+        # a non-divisor override would leave output rows uninitialized
+        raise ValueError(f"by={by} does not divide Ny={Ny}")
     gyn, gzn = Ny // by, Nz // bz
     byh = by + 2 * gy
-    if gyn > 1 and byh % 8:
-        raise ValueError(f"by + 2*gy = {byh} must be a multiple of 8")
+    if gyn > 1 and byh % subq:
+        raise ValueError(f"by + 2*gy = {byh} must be a multiple of {subq}")
     y0 = hy - gy
     X = Nx + 2 * hx
     bxh = X  # one full-width x window (radius-1 x stencil rides the halo)

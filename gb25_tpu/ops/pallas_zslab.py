@@ -116,6 +116,11 @@ def _pick_by(Ny, hy, cap, subq):
     (required whenever there is more than one y window).  Falls back to a
     single full-height window (by = Ny, no quantum constraint) when no
     conforming divisor exists — e.g. Ny=40, hy=4 (ADVICE r2 medium)."""
+    if Ny <= cap:
+        # a single full-height window is always the least-overlap choice
+        # (and carries no quantum constraint) — don't split a small y extent
+        # into overlapping windows just because a conforming divisor exists
+        return Ny
     for by in range(min(cap, Ny - 1), 0, -1):
         if Ny % by == 0 and (by + 2 * hy) % subq == 0:
             return by
@@ -223,11 +228,19 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
         "weno_vector_invariant", "vector_invariant", "none",
     ):
         return False
-    if grid.hz < 3 or grid.Nz % _choose_tile(grid.Nz, 8) != 0:
+    # degenerate z tiling: an Nz with no divisor in [2, 8] (e.g. prime)
+    # would run bz=1 windows of depth W=7 — a 7x z-overlap; use the array
+    # path instead
+    if grid.hz < 3 or _choose_tile(grid.Nz, 8) < 2:
         return False
     # x window: either the whole (extended) x extent fits one VMEM window,
     # or the grid is x-periodic so interior windows can wrap-pad to 128 lanes
     if grid.Nx + 2 * grid.hx > 4096 and not grid.x_periodic:
+        return False
+    # unaligned periodic grids wrap-pad x to the next multiple of 128, and
+    # that padded extent must still fit a SINGLE window (zslab_tendencies
+    # raises on gxn > 1 with a wrap tail) — gate, don't trace-crash
+    if grid.Nx % 128 and (grid.Nx + (-grid.Nx) % 128) + 2 * grid.hx > 4096:
         return False
     # tiny grids: window halos would dominate
     if grid.Nx < 128 or grid.Ny < 32:
@@ -375,6 +388,12 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     # (by+2hy)/by drops 1.5 -> 1.33; 44.4 vs 45.5 ms/step full-bench);
     # by=32 overflows VMEM at full-width x windows
     by = by or _pick_by(Ny, gy, 8 if bf16 else by_cap, 16 if (bf16 or sbf16) else 8)
+    if Ny % by:
+        # a non-divisor override (GB25_ZSLAB_BY / explicit by) would leave
+        # Ny - gyn*by output rows as uninitialized HBM — refuse loudly
+        raise ValueError(f"by={by} does not divide Ny={Ny}")
+    if Nxp % bx:
+        raise ValueError(f"bx={bx} does not divide padded Nx={Nxp}")
     gxn, gyn, gzn = Nxp // bx, Ny // by, Nz // bz
     if not x_wrap and gxn != 1:
         raise ValueError(
@@ -411,8 +430,10 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
         if a.shape[2] == 1:
             return a
         if xtail:
-            # periodic 128-alignment: append interior columns [0, xtail)
-            # (located at hx..hx+xtail of the extended array) past the end
+            # periodic 128-alignment: continue the column sequence past the
+            # existing right halo (which already supplies interior columns
+            # [0, hx)) with interior columns [hx, hx + xtail) — extended
+            # positions [2*hx, 2*hx + xtail)
             a = jnp.concatenate([a, a[:, :, 2 * hx : 2 * hx + xtail]], axis=2)
         if xpad == 0:
             return a

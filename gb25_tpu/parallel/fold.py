@@ -37,11 +37,15 @@ def _fold_perms(Rx, nxl, p, face):
     return perm0, perm1, r
 
 
-def fold_exchange_strips(comm, a, h):
-    """Return (strip_c, strip_u): the fold-source top rows ((h+1) rows,
-    nxl columns) regathered for this rank's fold range, for center-folded
-    and face-folded (u) quantities. Valid only on the top rank row; other
-    rank rows receive their own rotated garbage (unused)."""
+def fold_exchange_strips(comm, a, h, faces=("c", "u")):
+    """Return {face: strip}: the fold-source top rows ((h+1) rows, nxl
+    columns) regathered for this rank's fold range, for center-folded ("c")
+    and/or face-folded ("u") quantities. Valid only on the top rank row;
+    other rank rows receive their own rotated garbage (unused).
+
+    ``faces`` selects which alignments to build — every field consumes
+    exactly one, and each costs 2 ppermutes on the critical path, so
+    callers pass the one they need (halves the fold collectives)."""
     nxl = a.shape[0]
     nyl = a.shape[1]
     if nyl < h + 1:
@@ -60,6 +64,8 @@ def fold_exchange_strips(comm, a, h):
     Rx, p = comm.Rx, comm.pole_index
     out = {}
     for face, key in ((False, "c"), (True, "u")):
+        if key not in faces:
+            continue
         perm0, perm1, r = _fold_perms(Rx, nxl, p, face)
         if Rx == 1:
             got0 = got1 = strip
@@ -69,7 +75,7 @@ def fold_exchange_strips(comm, a, h):
         # ascending global order: cols [r, nxl) from s0 then [0, r) from s1
         stitched = jnp.concatenate([got0[r:], got1[:r]], axis=0) if r else got0
         out[key] = stitched[::-1]  # reversed -> indexed by local dest column
-    return out["c"], out["u"]
+    return out
 
 
 def fold_ghosts_north_dist(comm, a, h, kind):
@@ -79,10 +85,10 @@ def fold_ghosts_north_dist(comm, a, h, kind):
     +src(fold, P-m); u: -src(fold_u, P-m); v (faces): -src(fold, P-m+1).
     """
     nyl = a.shape[1]
-    strip_c, strip_u = fold_exchange_strips(comm, a, h)
+    face = "u" if kind == "u" else "c"
+    src = fold_exchange_strips(comm, a, h, faces=(face,))[face]
     # strip rows: index t in [0, h] corresponds to source row P-h+t
     sign = -1.0 if kind in ("u", "v") else 1.0
-    src = strip_u if kind == "u" else strip_c
     if kind == "v":
         # ghost j = nyl-1+m  (m>=1) -> source row P - m + 1 = t = h - m + 1
         rows = [src[:, h - m + 1, ...] for m in range(1, h + 1)]
@@ -98,8 +104,8 @@ def north_fold_projection_dist(comm, grid, u, v, eta, tracers):
     P = grid.Ny - 1
 
     def project(field, kind):
-        strip_c, strip_u = fold_exchange_strips(comm, field, 0)
-        mirror = (strip_u if kind == "u" else strip_c)[:, 0, ...]
+        face = "u" if kind == "u" else "c"
+        mirror = fold_exchange_strips(comm, field, 0, faces=(face,))[face][:, 0, ...]
         s = -1.0 if kind == "u" else 1.0
         old = field[:, P, ...]
         newrow = 0.5 * (old + s * mirror)

@@ -56,24 +56,6 @@ def localize_grid(grid, comm, nx_local: int, ny_local: int):
     return dataclasses.replace(grid, **kwargs)
 
 
-def localize_restoring(restoring, comm, nx_local: int, ny_local: int):
-    """Slice a restoring dict {name: (target, rate)} to the local tile."""
-    if restoring is None:
-        return None
-    ix = jnp.asarray(comm.x_offset(nx_local), jnp.int32)
-    iy = jnp.asarray(comm.y_offset(ny_local), jnp.int32)
-    z0 = jnp.zeros((), jnp.int32)
-
-    def loc(a):
-        if a.ndim == 3:
-            return lax.dynamic_slice(
-                a, (ix, iy, z0), (nx_local, ny_local, a.shape[2])
-            )
-        return lax.dynamic_slice(a, (ix, iy), (nx_local, ny_local))
-
-    return {k: (loc(t), loc(r)) for k, (t, r) in restoring.items()}
-
-
 def localize_atmosphere(atmos, comm, nx_local: int, ny_local: int):
     """Slice a PrescribedAtmosphere to the local ocean tile.
 

@@ -152,6 +152,8 @@ def make_mesh(n_devices: int | None = None, devices=None, shape=None) -> jax.sha
                 "shape via factors(N, n_slices=...) instead.",
                 stacklevel=2,
             )
+            dev_array = np.asarray(devices).reshape(rx, ry)
+            return jax.sharding.Mesh(dev_array, ("x", "y"))
         else:
             from jax.experimental import mesh_utils
 
@@ -161,5 +163,14 @@ def make_mesh(n_devices: int | None = None, devices=None, shape=None) -> jax.sha
             )
             return jax.sharding.Mesh(dev_array, ("x", "y"))
 
-    dev_array = np.asarray(devices).reshape(rx, ry)
+    # single slice: topology-aware layout so logically adjacent (x, y) mesh
+    # neighbors sit on physically adjacent ICI links (on a v4/v5p 3-D torus
+    # a naive jax.devices() reshape makes every halo ppermute multi-hop);
+    # mesh_utils reduces to a plain reshape on hosts without a torus
+    try:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh((rx, ry), devices=devices)
+    except Exception:  # unusual device sets (e.g. hand-built fakes)
+        dev_array = np.asarray(devices).reshape(rx, ry)
     return jax.sharding.Mesh(dev_array, ("x", "y"))

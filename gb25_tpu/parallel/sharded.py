@@ -75,8 +75,6 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
     intermediates carry empty varying-axes sets); real Mosaic lowering
     passes the check.
     """
-    from gb25_tpu.parallel.localize import localize_restoring
-
     Rx, Ry = mesh.shape["x"], mesh.shape["y"]
     # a 1x1 mesh has no neighbors: every exchange degenerates to the local
     # BC fill, so the serial code path (comm=None) computes identical values
@@ -87,7 +85,11 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
     if grid.Nx % Rx or grid.Ny % Ry:
         raise ValueError(f"grid {grid.Nx}x{grid.Ny} not divisible by mesh {Rx}x{Ry}")
     nxl, nyl = grid.Nx // Rx, grid.Ny // Ry
-    if cfg.kernels in ("auto", "zslab") and jax.default_backend() == "tpu":
+    # comm is None (1x1 mesh) takes the serial path, which wrap-pads x to
+    # the 128-lane quantum itself — only real decompositions can lose the
+    # kernel to misalignment
+    if (comm is not None and cfg.kernels in ("auto", "zslab")
+            and jax.default_backend() == "tpu"):
         from gb25_tpu.parallel.mesh import kernel_alignment_warning
 
         msg = kernel_alignment_warning(grid.Nx, Rx)
@@ -95,13 +97,35 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
             import warnings
 
             warnings.warn(msg, stacklevel=2)
+    if comm is not None and min(grid.hx, grid.hy) > min(nxl - 1, nyl - 1):
+        import warnings
+
+        warnings.warn(
+            f"local tiles {nxl}x{nyl} are smaller than the grid halo "
+            f"({grid.hx}, {grid.hy}): the barotropic exchange width W "
+            "shrinks locally, so sharded results differ from a serial run "
+            "of the same problem at the arithmetic-reassociation level "
+            "(~1e-12 relative); use tiles at least halo+1 wide for "
+            "bitwise serial agreement", stacklevel=2,
+        )
 
     from gb25_tpu.models.state import initial_state
 
     proto = initial_state(grid, tracers=cfg.tracers, dtype=grid.dtype)
     sspec = _state_specs(proto)
     gspec = _grid_specs(grid)
-    rspec = jax.tree_util.tree_map(lambda _: P(), restoring)
+    # restoring targets are full 3-D fields consumed interior-only (no
+    # halos): shard them like the state instead of replicating ~2 full
+    # fields of HBM onto every chip
+    def _rspec(leaf):
+        nd = getattr(leaf, "ndim", 0)
+        if nd == 3:
+            return P("x", "y", None)
+        if nd == 2:
+            return P("x", "y")
+        return P()
+
+    rspec = jax.tree_util.tree_map(_rspec, restoring)
 
     @partial(
         jax.shard_map,
@@ -111,11 +135,13 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
         check_vma=check_vma,
     )
     def _local_step(state, dt, gridrep, restrep):
+        # restoring arrives pre-sharded to the local tile (in_specs above),
+        # so no per-rank slicing is needed on either branch
+        lrest = restrep
         if comm is None:  # 1x1 mesh: local tile == global domain
-            lgrid, lrest = gridrep, restrep
+            lgrid = gridrep
         else:
             lgrid = localize_grid(gridrep, comm, nxl, nyl)
-            lrest = localize_restoring(restrep, comm, nxl, nyl)
 
         def one(s):
             return time_step(cfg, lgrid, s, dt, comm, restoring=lrest)

@@ -91,6 +91,15 @@ class Simulation:
         self.callbacks: list[Callback] = []
         self.output_writers: list = []
         self._writer_schedules: list[TimeInterval] = []
+        if step_fn is None and comm is not None:
+            # wire the explicit halo-exchange comm into the default loop
+            # (closed over, not traced) — otherwise the requested ppermute
+            # path would be silently ignored
+            step_fn = jax.jit(
+                lambda cfg, grid, state, dt, n: _loop(cfg, grid, state, dt, n,
+                                                      comm=comm),
+                static_argnames="n",
+            )
         self._step_fn = step_fn or jax.jit(_loop, static_argnames="n")
         self._comm = comm
         self.run_wall_time = 0.0
@@ -135,6 +144,11 @@ class Simulation:
     def run(self):
         """Reference analog of ``run!(simulation)``."""
         t0 = _time.perf_counter()
+        # initial record at the true start time: writers fire on their first
+        # call, and without this it would land at the END of the first chunk
+        # (an unaligned, mislabeled "initial" time)
+        for w in self.output_writers:
+            w.maybe_write(self)
         while not self._should_stop():
             if (self.wall_time_limit is not None
                     and _time.perf_counter() - t0 > self.wall_time_limit):
@@ -172,11 +186,11 @@ class CheckpointWriter:
         import shutil
 
         from gb25_tpu.io import save_sharded_state
+        from gb25_tpu.io.output import _boundary_crossed
 
-        t = sim.time
-        if self._last is not None and t - self._last < self.interval - 1e-9:
+        fire, self._last = _boundary_crossed(sim.time, self.interval, self._last)
+        if not fire:
             return
-        self._last = t
         path = os.path.join(self.directory, f"ckpt_iter{sim.iteration:09d}")
         save_sharded_state(sim.state, path)
         self._written.append(path)

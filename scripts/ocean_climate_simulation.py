@@ -87,6 +87,7 @@ def main():
 
     from gb25_tpu.models.coupled import compute_interface_fluxes
     from gb25_tpu.models.hydrostatic import time_step
+    from gb25_tpu.models.seaice import limit_ocean_temperature
 
     # atmos/restoring ride as jit ARGUMENTS: closing over them would bake
     # the (possibly pre-regridded, ocean-sized) records into the IR as
@@ -98,8 +99,13 @@ def main():
 
         def step1(ss):
             fluxes, _diag = compute_interface_fluxes(ccfg_, grid_, atmos_, ss)
-            return time_step(ccfg_.ocean, grid_, ss, dt, surface_fluxes=fluxes,
-                             restoring=restoring_, g_t3=g_t3)
+            ss = time_step(ccfg_.ocean, grid_, ss, dt, surface_fluxes=fluxes,
+                           restoring=restoring_, g_t3=g_t3)
+            # freezing limiter on the PROGNOSTIC temperature, exactly as
+            # coupled_time_step does (ClimaOcean:
+            # above_freezing_ocean_temperature!) — restoring/cooling must
+            # not leave polar water supercooled
+            return limit_ocean_temperature(ccfg_.sea_ice, ss)
 
         if g_t3:  # transposed-G carry (see models.hydrostatic.loop)
             return g_t3_loop(step1, s, n)

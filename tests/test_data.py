@@ -115,3 +115,33 @@ def test_sharded_restoring_matches_serial():
 
     for a, b in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_sh)):
         _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b), rtol=1e-9, atol=1e-12)
+
+
+def test_explicit_missing_climatology_raises(tmp_path):
+    """A mistyped --climatology path must raise, not silently substitute the
+    synthetic analytic stand-in (scientifically wrong 'ECCO-restored' runs)."""
+    import pytest
+
+    from gb25_tpu.data import climatology_restoring
+
+    grid = simple_latitude_longitude_grid(16, 8, 4, dtype=jnp.float64)
+    with pytest.raises(FileNotFoundError):
+        climatology_restoring(grid, path=str(tmp_path / "nope.npz"))
+
+
+def test_interp_z_columns_matches_np_interp():
+    """The vectorized per-column z interpolation must reproduce np.interp
+    (including the clamped out-of-range behavior)."""
+    from gb25_tpu.data.datasets import _interp_z_columns
+
+    rng = np.random.default_rng(3)
+    zl = np.sort(rng.uniform(-4000.0, 0.0, 9))
+    F = rng.standard_normal((4, 6, 9))
+    zc = np.linspace(-4500.0, 50.0, 21)  # extends past both ends
+    got = _interp_z_columns(zc, zl, F)
+    want = np.stack([np.stack([np.interp(zc, zl, F[i, j]) for j in range(6)])
+                     for i in range(4)])
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # single-level record: constant column
+    one = _interp_z_columns(zc, zl[:1], F[..., :1])
+    np.testing.assert_array_equal(one, np.broadcast_to(F[..., :1], (4, 6, 21)))

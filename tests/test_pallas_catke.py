@@ -171,3 +171,14 @@ def test_g_t3_coupled_loop_matches_repeated_steps(monkeypatch):
         ccfg, grid, atmos, state, 30.0, 3)
     for a, b in zip(jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_lp)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_catke_by_override_must_divide_ny():
+    """A by override that does not divide Ny would leave diffusivity rows
+    as uninitialized memory; the kernel must refuse loudly."""
+    grid = simple_latitude_longitude_grid(64, 40, 16, dtype=jnp.float32)
+    cfg, state, ue, ve, tr_e, be = _setup(grid)
+    with pytest.raises(ValueError, match="does not divide Ny"):
+        catke_diffusivities_kernel(cfg.closure, grid, _t3(ue), _t3(ve),
+                                   _t3(be), _t3(tr_e["e"]), by=24,
+                                   interpret=True)

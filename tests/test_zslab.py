@@ -602,3 +602,52 @@ def test_cumsum_leading_forms():
                                rtol=2e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(seq), np.asarray(ref),
                                rtol=2e-6, atol=1e-6)
+
+
+def test_zslab_gate_rejects_untileable_shapes(monkeypatch):
+    """The support gate must imply the kernel actually traces: shapes whose
+    wrap padding cannot fit a single x window, or whose Nz has no usable
+    z tile, are gated to the array path instead of raising mid-trace."""
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    from gb25_tpu.ops.pallas_zslab import zslab_supported
+
+    cfg = baroclinic_instability_config()
+    # Nx=4032: 4032 % 128 = 64, padded Nxp = 4096, 4096 + 2*4 > 4096 — the
+    # padded extent needs >1 x window, which wrap padding cannot supply
+    grid = simple_latitude_longitude_grid(4032, 32, 8, dtype=jnp.float32)
+    state = baroclinic_instability_state(grid)
+    assert not zslab_supported(cfg, grid, state.u, comm=None)
+    # prime Nz: only bz=1 divides — a W=7 window per output plane (7x
+    # z-overlap); stay on the array path
+    g61 = simple_latitude_longitude_grid(128, 32, 61, dtype=jnp.float32)
+    s61 = baroclinic_instability_state(g61)
+    assert not zslab_supported(cfg, g61, s61.u, comm=None)
+
+
+def test_zslab_by_override_must_divide_ny(monkeypatch):
+    """A by override that does not divide Ny would leave output rows as
+    uninitialized HBM; the kernel must refuse loudly."""
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    from gb25_tpu.ops.halos import extend_field
+    from gb25_tpu.ops.pallas_zslab import zslab_tendencies
+
+    cfg = baroclinic_instability_config()
+    grid = simple_latitude_longitude_grid(128, 40, 8, dtype=jnp.float32)
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    ue = extend_field(grid, state.u, "u")
+    ve = extend_field(grid, state.v, "v")
+    tr_e = {k: extend_field(grid, v, "c") for k, v in state.tracers.items()}
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
+    with pytest.raises(ValueError, match="does not divide Ny"):
+        zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, by=24)
+
+
+def test_pick_by_prefers_single_window():
+    """When Ny fits the cap, one full-height window minimizes y-overlap
+    (by=8 would process 3x16 window rows for 24 outputs vs 1x32)."""
+    from gb25_tpu.ops.pallas_zslab import _pick_by
+
+    assert _pick_by(24, 4, 24, 8) == 24
+    assert _pick_by(768, 4, 24, 8) == 24  # large Ny: divisor search intact
+    assert _pick_by(40, 4, 24, 8) == 8    # conforming divisor found
+    assert _pick_by(35, 4, 24, 8) == 35   # no conforming divisor: fallback
