@@ -140,6 +140,9 @@ def main():
             ocfg = dataclasses.replace(ocfg, kernels=args.kernels)
         ccfg = dataclasses.replace(ccfg, ocean=ocfg)
         cfg = ocfg
+        # the resolution->points roundtrip can change BOTH extents (e.g.
+        # --nx 450: int(384/(384/450)) == 449); report the built grid's
+        args.nx = grid.Nx
         args.ny = grid.Ny
 
         # atmos must ride as a jit ARGUMENT: closing over the pre-regridded

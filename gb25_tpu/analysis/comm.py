@@ -20,9 +20,27 @@ _DTYPE_BYTES = {
     "u8": 1, "pred": 1,
 }
 
-_PERMUTE_RE = re.compile(
-    r"=\s*(\w+)\[([\d,]*)\][^=]*?\bcollective-permute(?:-start)?\("
-)
+# Result-type extraction handles BOTH lowered forms:
+#   sync:  %cp  = f32[8,128]{1,0} collective-permute(...)
+#   async: %cps = (f32[8,128]{1,0}, f32[8,128]{1,0}, u32[], u32[])
+#                 collective-permute-start(...)   [latency-hiding scheduler]
+# For the async tuple the first array entry is the operand (== result shape);
+# the matching collective-permute-done is NOT counted (same data movement).
+_RESULT_TYPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def _iter_permute_results(scope: str):
+    """Yield (dtype, dims) for each collective-permute(-start) in ``scope``."""
+    for line in scope.splitlines():
+        if "collective-permute" not in line or "collective-permute-done" in line:
+            continue
+        eq = line.find("=")
+        op = line.find("collective-permute")
+        if eq < 0 or op < eq:
+            continue
+        m = _RESULT_TYPE_RE.search(line, eq, op)
+        if m:
+            yield m.group(1), m.group(2)
 
 
 @dataclasses.dataclass
@@ -62,8 +80,7 @@ def collective_permute_stats(hlo: str) -> CommStats:
     scope = body if body is not None else hlo
     per_op = []
     total = 0
-    for m in _PERMUTE_RE.finditer(scope):
-        dt, dims = m.group(1), m.group(2)
+    for dt, dims in _iter_permute_results(scope):
         nbytes = _DTYPE_BYTES.get(dt, 4)
         n = 1
         for d in dims.split(","):

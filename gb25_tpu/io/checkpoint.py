@@ -80,6 +80,10 @@ def _rank_files(directory):
     ranks = sorted(
         int(pat.match(f).group(1)) for f in os.listdir(directory) if pat.match(f)
     )
+    if not ranks:
+        # consistent failure for all loaders (an empty/wrong directory used
+        # to IndexError in load_all_fields/load_metadata)
+        raise FileNotFoundError(f"no shard files in {directory}")
     return ranks
 
 
@@ -119,14 +123,12 @@ def load_metadata(directory) -> dict:
 def restore_state(state_template, directory):
     """Rebuild a state pytree (on the template's shardings) from a checkpoint."""
     fields = load_all_fields(directory)
-    flat_template = _flatten_state(state_template)
+    # derive leaf names with the SAME function save uses (_flatten_state),
+    # so the save/restore naming scheme cannot silently diverge
+    names = iter(_flatten_state(state_template).keys())
 
-    def rebuild(path, leaf):
-        name = "/".join(
-            str(getattr(p, "name", getattr(p, "key", getattr(p, "idx", p))))
-            for p in path
-        )
-        arr = fields[name].astype(leaf.dtype)
+    def rebuild(leaf):
+        arr = fields[next(names)].astype(leaf.dtype)
         return jax.device_put(arr, leaf.sharding)
 
-    return jax.tree_util.tree_map_with_path(rebuild, state_template)
+    return jax.tree_util.tree_map(rebuild, state_template)

@@ -56,7 +56,7 @@ def compare_states(a, b, rtol=None, atol=0.0, throw_error=True, verbose=True,
         max_err = float(delta.max()) if delta.size else 0.0
         am = np.unravel_index(int(delta.argmax()), delta.shape) if delta.size else ()
         report.append((name, max_ref, max_err, am))
-        tol = (field_rtol if field_rtol is not None else default_rtol(np.asarray(xa).dtype))
+        tol = (field_rtol if field_rtol is not None else default_rtol(xa.dtype))
         if max_err > tol * max(max_ref, 1e-300) + atol:
             failures.append((name, max_ref, max_err, am))
         if verbose:

@@ -41,8 +41,21 @@ def preamble(collective_timeout_minutes: int = 30):
     # flags are fatal to the CPU backend ("Unknown flag in XLA_FLAGS"), so
     # skip them under an explicit non-TPU platform pin.
     platforms = os.environ.get("JAX_PLATFORMS", "")
-    tpu_target = (not platforms) or any(
-        p.strip() in ("axon", "tpu") for p in platforms.split(","))
+    if platforms:
+        tpu_target = any(
+            p.strip() in ("axon", "tpu") for p in platforms.split(","))
+    else:
+        # unset platform: JAX silently falls back to CPU on machines with
+        # no TPU, where the TPU-only flag below is fatal — only inject it
+        # when a TPU is actually plausible on this host
+        import importlib.util
+
+        tpu_target = (
+            os.path.exists("/dev/accel0")
+            or os.path.exists("/dev/vfio/0")
+            or bool(os.environ.get("TPU_NAME"))
+            or importlib.util.find_spec("libtpu") is not None
+        )
     flags = os.environ.get("XLA_FLAGS", "")
     extra = []
     if tpu_target and "xla_tpu_enable_latency_hiding_scheduler" not in flags:

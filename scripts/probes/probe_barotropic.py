@@ -35,16 +35,20 @@ def main():
 
     def run(disable):
         os.environ["GB25_DISABLE_PALLAS"] = "1" if disable else "0"
+        # Gu/Gv ride as jit ARGUMENTS: closing over them would bake ~600 MB
+        # of random constants into the IR at flagship size (see
+        # probe_zslab_compile.py — that hangs the remote compile service)
         fn = jax.jit(
-            lambda s: barotropic_substep(cfg, grid, s, s.u, s.v, Gu, Gv, 60.0)
+            lambda s, gu, gv: barotropic_substep(cfg, grid, s, s.u, s.v,
+                                                 gu, gv, 60.0)
         )
         t0 = time.perf_counter()
-        out = fn(state)
+        out = fn(state, Gu, Gv)
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(10):
-            out = fn(state)
+            out = fn(state, Gu, Gv)
         jax.block_until_ready(out)
         ms = 1e3 * (time.perf_counter() - t0) / 10
         return out, compile_s, ms

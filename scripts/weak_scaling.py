@@ -28,20 +28,23 @@ def run_once(n, tile, Nz, steps, dtype_name, overlap=True):
     Nx, Ny = tx * rx, ty * ry
     grid = simple_latitude_longitude_grid(Nx, Ny, Nz, dtype=dtype)
     cfg = dataclasses.replace(baroclinic_instability_config(), overlap_split=overlap)
-    state = shard_state(baroclinic_instability_state(grid), make_mesh(n, shape=(rx, ry)))
     mesh = make_mesh(n, shape=(rx, ry))
+    state = shard_state(baroclinic_instability_state(grid), mesh)
     fn = sharded_step_fn(cfg, grid, mesh, n_inner=steps)
     dt = jnp.asarray(1.0, dtype)
 
     # static comm accounting from the compiled program (VERDICT r1 item 8):
-    # per-step collective-permute count + bytes per device
-    hlo = fn.lower(state, dt).compile().as_text()
-    comm = collective_permute_stats(hlo)
+    # per-step collective-permute count + bytes per device; reuse this ONE
+    # compiled executable for the run too (calling the jitted fn would
+    # compile the identical program a second time — the AOT path does not
+    # populate the jit dispatch cache, and compiles dominate a CPU sweep)
+    compiled = fn.lower(state, dt).compile()
+    comm = collective_permute_stats(compiled.as_text())
 
-    s = fn(state, dt)  # compile + warm
+    s = compiled(state, dt)  # warm (lazy one-time init)
     jax.block_until_ready(s)
     t0 = time.perf_counter()
-    s = fn(s, dt)
+    s = compiled(s, dt)
     jax.block_until_ready(s)
     el = time.perf_counter() - t0
     return {
