@@ -42,19 +42,22 @@ def preamble(collective_timeout_minutes: int = 30):
     # skip them under an explicit non-TPU platform pin.
     platforms = os.environ.get("JAX_PLATFORMS", "")
     if platforms:
-        tpu_target = any(
-            p.strip() in ("axon", "tpu") for p in platforms.split(","))
+        # "axon" (tunneled TPU) is NOT a target: XLA_FLAGS is parsed by the
+        # *client-side* XLA, which doesn't link the TPU flag table and
+        # aborts ("Unknown flag in XLA_FLAGS") — TPU flags belong on the
+        # server end of the tunnel
+        tpu_target = any(p.strip() == "tpu" for p in platforms.split(","))
     else:
         # unset platform: JAX silently falls back to CPU on machines with
         # no TPU, where the TPU-only flag below is fatal — only inject it
-        # when a TPU is actually plausible on this host
-        import importlib.util
-
+        # when a local TPU device is actually plausible on this host.
+        # (libtpu merely being installed is NOT evidence: tunneled-TPU
+        # clients ship the package while the chip — and the flag-aware
+        # XLA — live on the far end.)
         tpu_target = (
             os.path.exists("/dev/accel0")
             or os.path.exists("/dev/vfio/0")
             or bool(os.environ.get("TPU_NAME"))
-            or importlib.util.find_spec("libtpu") is not None
         )
     flags = os.environ.get("XLA_FLAGS", "")
     extra = []

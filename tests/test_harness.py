@@ -185,11 +185,20 @@ def test_preamble_honors_platform_pin(monkeypatch):
     assert jax.config.jax_platforms == "cpu"
     assert "xla_tpu" not in os.environ["XLA_FLAGS"]
 
-    # TPU-targeted env keeps the hang-detection flag injection
+    # TPU-targeted env (local chip evidence) keeps the hang-detection flag
+    # injection; libtpu-the-package alone is not evidence (tunneled hosts)
     monkeypatch.setenv("JAX_PLATFORMS", "")
     monkeypatch.setenv("XLA_FLAGS", "")
+    monkeypatch.setenv("TPU_NAME", "local-v5p")
     preamble()
     assert "--xla_tpu_enable_latency_hiding_scheduler=true" in os.environ["XLA_FLAGS"]
+    # an axon (tunneled) pin must NOT inject: the client-side XLA parses
+    # XLA_FLAGS and aborts on unknown TPU flags
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setenv("XLA_FLAGS", "")
+    monkeypatch.delenv("TPU_NAME")
+    preamble()
+    assert "xla_tpu" not in os.environ["XLA_FLAGS"]
     # restore the pin for the rest of the suite (conftest set it)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     jax.config.update("jax_platforms", "cpu")
