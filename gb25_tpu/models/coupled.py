@@ -57,8 +57,15 @@ def _crop2(grid, a):
     return a[1 : 1 + grid.Nx, 1 : 1 + grid.Ny]
 
 
-def compute_interface_fluxes(ccfg: CoupledConfig, grid, atmos, state, comm=None):
-    """Air-sea fluxes on ocean centers -> kinematic surface fluxes dict."""
+def compute_interface_fluxes(ccfg: CoupledConfig, grid, atmos, state, comm=None,
+                             ice_cover=None, ice_coupling=None):
+    """Air-sea fluxes on ocean centers -> kinematic surface fluxes dict.
+
+    ``ice_cover``/``ice_coupling`` (prognostic ``SlabSeaIce`` path): shade
+    the open-water fluxes by (1 - a), substitute ice-ocean drag for wind
+    stress under the ice fraction, and add the thermodynamic coupling
+    fluxes (basal heat extraction, frazil heat, brine/meltwater salt) from
+    ``seaice_thermodynamics``."""
     a = atmos.at_time(state.time)
     S_surf = state.tracers["S"][:, :, -1]
     To = state.tracers["T"][:, :, -1]
@@ -89,6 +96,19 @@ def compute_interface_fluxes(ccfg: CoupledConfig, grid, atmos, state, comm=None)
     # stress at centers -> velocity points
     taux_c = turb["tau_x"] / rho0
     tauy_c = turb["tau_y"] / rho0
+
+    if ice_cover is not None:
+        si = ccfg.sea_ice
+        shade = 1.0 - ice_cover
+        T_flux = T_flux * shade + ice_coupling["T_flux"]
+        S_flux = S_flux * shade + ice_coupling["S_flux"]
+        # under the ice fraction the ocean feels free-drift ice-ocean drag
+        # (relative velocity = wind_drift_factor * u_a) instead of wind
+        wdf2 = si.wind_drift_factor**2
+        Ua = jnp.sqrt(a["ua"] ** 2 + a["va"] ** 2)
+        taux_c = taux_c * shade + ice_cover * si.ice_ocean_drag * wdf2 * Ua * a["ua"]
+        tauy_c = tauy_c * shade + ice_cover * si.ice_ocean_drag * wdf2 * Ua * a["va"]
+
     taux_u = _crop2(grid, i_f(_extend2(grid, taux_c, "c", comm), "x"))
     tauy_v = _crop2(grid, i_f(_extend2(grid, tauy_c, "c", comm), "y"))
 
@@ -117,6 +137,40 @@ def coupled_time_step(ccfg: CoupledConfig, grid, atmos, state, dt, comm=None,
     return limit_ocean_temperature(ccfg.sea_ice, state)
 
 
+def coupled_ice_time_step(ccfg, grid, atmos, state, ice, dt, comm=None,
+                          restoring=None):
+    """One coupled step with the prognostic ``SlabSeaIce`` component:
+    ice thermodynamics -> shaded/augmented interface fluxes -> free-drift
+    ice advection -> ocean step -> freezing limiter. Returns (state, ice)."""
+    from gb25_tpu.models.seaice import seaice_advect, seaice_thermodynamics
+
+    si = ccfg.sea_ice
+    af = atmos.at_time(state.time)
+    ice_th, coup = seaice_thermodynamics(si, grid, af, state, ice, dt)
+    fluxes, _ = compute_interface_fluxes(
+        ccfg, grid, atmos, state, comm,
+        ice_cover=coup["shade"], ice_coupling=coup)
+    ice_new = seaice_advect(si, grid, state, ice_th, af, dt, comm)
+    state = time_step(ccfg.ocean, grid, state, dt, comm, surface_fluxes=fluxes,
+                      restoring=restoring)
+    return limit_ocean_temperature(si, state), ice_new
+
+
+def coupled_ice_loop(ccfg, grid, atmos, state, ice, dt, n, comm=None,
+                     restoring=None):
+    """n coupled steps carrying (ocean state, sea-ice state); one HLO while.
+
+    The transposed-G fast carry (``g_t3_loop``) is not wired here: the
+    prognostic-ice configuration is not the benchmark path."""
+
+    def body(_, c):
+        s, i = c
+        return coupled_ice_time_step(ccfg, grid, atmos, s, i, dt, comm,
+                                     restoring=restoring)
+
+    return jax.lax.fori_loop(0, n, body, (state, ice))
+
+
 def coupled_loop(ccfg, grid, atmos, state, dt, n, comm=None):
     from gb25_tpu.models.hydrostatic import _g_t3_ok, g_t3_loop
 
@@ -136,14 +190,19 @@ def coupled_loop(ccfg, grid, atmos, state, dt, n, comm=None):
 
 
 def data_free_ocean_climate_model(resolution=2.0, Nz=20, dtype=jnp.float32,
-                                  closure="catke", grid_type="gaussian_islands"):
+                                  closure="catke", grid_type="gaussian_islands",
+                                  sea_ice="freezing_limited"):
     """Reference: data_free_ocean_climate_model_init (resolution=2, Nz=20),
     gaussian-islands bathymetry, analytic atmosphere, CATKE ocean defaults.
 
     ``grid_type``: "gaussian_islands" (lat-lon band) or
     "gaussian_islands_tripolar" (the reference's actual configuration:
     gaussian_islands_tripolar_grid, model_utils.jl:134-146 — curvilinear
-    tripolar grid with the two-island bathymetry and north-fold seam)."""
+    tripolar grid with the two-island bathymetry and north-fold seam).
+
+    ``sea_ice``: "freezing_limited" (the reference's constructor default) or
+    "slab" (prognostic zero-layer thermodynamic ice, models/seaice.py —
+    drive with ``coupled_ice_loop`` and an ``initial_ice_state(grid)``)."""
     from gb25_tpu.grids import resolution_to_points, simple_latitude_longitude_grid, tripolar_grid
     from gb25_tpu.grids.immersed import gaussian_islands_bottom
     from gb25_tpu.models.atmosphere import data_free_atmosphere
@@ -162,8 +221,13 @@ def data_free_ocean_climate_model(resolution=2.0, Nz=20, dtype=jnp.float32,
     ocean_cfg = baroclinic_instability_config(
         free_surface=SplitExplicitFreeSurface(substeps=30), closure=closure_obj
     )
-    ccfg = CoupledConfig(ocean=ocean_cfg,
-                         sea_ice=FreezingLimitedOceanTemperature())
+    if sea_ice == "slab":
+        from gb25_tpu.models.seaice import SlabSeaIce
+
+        ice_component = SlabSeaIce()
+    else:
+        ice_component = FreezingLimitedOceanTemperature()
+    ccfg = CoupledConfig(ocean=ocean_cfg, sea_ice=ice_component)
 
     state = initial_state(grid, ocean_cfg.tracers, dtype)
     if getattr(grid, "phi2_c", None) is not None:

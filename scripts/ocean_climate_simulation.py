@@ -49,6 +49,11 @@ def main():
                         "gather per step (for records too large to "
                         "materialize at ocean resolution, e.g. a year of "
                         "3-hourly JRA55-do at the flagship grid)")
+    p.add_argument("--sea-ice", default="freezing_limited",
+                   choices=["freezing_limited", "slab"],
+                   help="freezing_limited = the reference's implicit default; "
+                        "slab = prognostic zero-layer thermodynamic ice with "
+                        "free-drift advection (models/seaice.py)")
     p.add_argument("--output-dir", default="climate_output")
     p.add_argument("--output-format", default="npz", choices=["npz", "netcdf"],
                    help="netcdf = one CF-readable classic .nc file with an "
@@ -73,7 +78,14 @@ def main():
         free_surface=SplitExplicitFreeSurface(substeps=30),
         closure=CATKEVerticalDiffusivity(),
     )
-    ccfg = CoupledConfig(ocean=ocean_cfg)
+    if args.sea_ice == "slab":
+        from gb25_tpu.models.seaice import SlabSeaIce, initial_ice_state
+
+        ccfg = CoupledConfig(ocean=ocean_cfg, sea_ice=SlabSeaIce())
+        ice_holder = {"ice": initial_ice_state(grid, dtype)}
+    else:
+        ccfg = CoupledConfig(ocean=ocean_cfg)
+        ice_holder = None
     state = initial_state_from_climatology(grid, ocean_cfg, path=args.climatology)
     restoring = climatology_restoring(grid, path=args.climatology)
 
@@ -111,10 +123,26 @@ def main():
             return g_t3_loop(step1, s, n)
         return jax.lax.fori_loop(0, n, lambda _, ss: step1(ss), s)
 
-    _jloop = jax.jit(climate_loop, static_argnames="n")
+    if ice_holder is not None:
+        from gb25_tpu.models.coupled import coupled_ice_loop
 
-    def step_fn(cfg_unused, grid_, s, dt, n):
-        return _jloop(ccfg, grid_, atmos, restoring, s, dt, n)
+        def ice_loop(ccfg_, grid_, atmos_, restoring_, s, ice, dt, n):
+            return coupled_ice_loop(ccfg_, grid_, atmos_, s, ice, dt, n,
+                                    restoring=restoring_)
+
+        _jloop_ice = jax.jit(ice_loop, static_argnames="n")
+
+        def step_fn(cfg_unused, grid_, s, dt, n):
+            # the ice state rides outside Simulation's ocean-state plumbing:
+            # step_fn is called sequentially, so a held reference is exact
+            s, ice_holder["ice"] = _jloop_ice(
+                ccfg, grid_, atmos, restoring, s, ice_holder["ice"], dt, n)
+            return s
+    else:
+        _jloop = jax.jit(climate_loop, static_argnames="n")
+
+        def step_fn(cfg_unused, grid_, s, dt, n):
+            return _jloop(ccfg, grid_, atmos, restoring, s, dt, n)
 
     sim = Simulation(
         ocean_cfg, grid, state, dt=args.dt,
@@ -135,6 +163,13 @@ def main():
     sim.run()
     if args.output_format == "netcdf":
         writer.close()
+    if ice_holder is not None:
+        import numpy as np
+
+        vi = np.asarray(ice_holder["ice"].v)
+        ai = np.asarray(ice_holder["ice"].a)
+        print(f"sea ice: max volume {vi.max():.3f} m, "
+              f"cover(a>0.15) {100.0 * float((ai > 0.15).mean()):.1f}% of cells")
     print(f"done: iteration={sim.iteration} t={sim.time / 86400:.2f} days "
           f"wall={sim.run_wall_time:.1f}s")
 
