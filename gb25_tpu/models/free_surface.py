@@ -82,11 +82,15 @@ def _metrics2(grid, h=1):
 
 
 def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
-                       comm=None, uv_t3=False):
+                       comm=None, uv_t3=False, integrals=None):
     """Run the split-explicit barotropic solve; returns (eta_new, u_new, v_new).
 
     u_star/v_star: baroclinic AB2-updated velocities (no eta gradient force).
     Gu_ab/Gv_ab:   the AB2-combined tendencies used for that update (interior).
+    integrals:     optional (U0, V0, Us, Vs) depth integrals of (u, v, u*, v*)
+                   precomputed inside the z-slab kernel (VMEM scratch
+                   accumulation, ops/pallas_zslab.py ``integrals=True``) —
+                   skips this function's two full-field reduction passes.
 
     Latency optimization (SURVEY.md hard part (b)): instead of two width-1
     halo exchanges per substep (2 x 30 rounds of thin ppermutes per model
@@ -110,13 +114,20 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
     zint, zint_t3 = _make_zint(dz)
 
     zint_u = zint_t3 if uv_t3 else zint
-    U0, V0 = zint(state.u), zint(state.v)
-    if Gu_ab is None:
+    uv_zints = None
+    if integrals is not None:
+        U0, V0, Us, Vs = integrals
+        uv_zints = (Us, Vs)
+        GU = (Us - U0) / dt
+        GV = (Vs - V0) / dt
+    elif Gu_ab is None:
         # kernel-fused AB2 path: u* = u + dt*G_ab was computed in-kernel, so
         # zint(G_ab) = (zint(u*) - U0) / dt — no G_ab array exists
+        U0, V0 = zint(state.u), zint(state.v)
         GU = (zint_u(u_star) - U0) / dt
         GV = (zint_u(v_star) - V0) / dt
     else:
+        U0, V0 = zint(state.u), zint(state.v)
         GU, GV = zint(Gu_ab), zint(Gv_ab)
 
     # exchange width: the grid halo, clamped so strips (width W+1 for the
@@ -212,7 +223,8 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
             interior(Hu_e), interior(Hv_e), dt, mu=mu, mv=mv,
         )
         return _finish(grid, state, u_star, v_star, eta_b, U_b, V_b,
-                       interior(Hu_e), interior(Hv_e), uv_t3=uv_t3)
+                       interior(Hu_e), interior(Hv_e), uv_t3=uv_t3,
+                       uv_zints=uv_zints)
 
     n_masks = 0 if maskU_e is None else 2
     use_blocked_kernel = cfg.kernels in ("auto", "zslab") and (
@@ -271,10 +283,12 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
         m += block
 
     return _finish(grid, state, u_star, v_star, eta_b, U_b, V_b,
-                   interior(Hu_e), interior(Hv_e), uv_t3=uv_t3)
+                   interior(Hu_e), interior(Hv_e), uv_t3=uv_t3,
+                   uv_zints=uv_zints)
 
 
-def _finish(grid, state, u_star, v_star, eta_b, U_b, V_b, Hu, Hv, uv_t3=False):
+def _finish(grid, state, u_star, v_star, eta_b, U_b, V_b, Hu, Hv, uv_t3=False,
+            uv_zints=None):
     # barotropic correction: replace the depth mean of (u*, v*) with the
     # filtered barotropic transport (reference:
     # correct_velocities_and_cache_previous_tendencies!, precompile.jl:41)
@@ -287,8 +301,10 @@ def _finish(grid, state, u_star, v_star, eta_b, U_b, V_b, Hu, Hv, uv_t3=False):
     zint_u = zint_t3 if uv_t3 else zint
     Hu_safe = jnp.maximum(Hu, 1e-30)
     Hv_safe = jnp.maximum(Hv, 1e-30)
-    du = (U_b - zint_u(u_star)) / Hu_safe
-    dv = (V_b - zint_u(v_star)) / Hv_safe
+    Us = uv_zints[0] if uv_zints is not None else zint_u(u_star)
+    Vs = uv_zints[1] if uv_zints is not None else zint_u(v_star)
+    du = (U_b - Us) / Hu_safe
+    dv = (V_b - Vs) / Hv_safe
     if uv_t3:
         u_new = u_star + jnp.transpose(du, (1, 0))[None]
         v_new = v_star + jnp.transpose(dv, (1, 0))[None]

@@ -76,7 +76,15 @@ def mask_v_wall(grid, v, comm=None, total_ny=None):
 
     v[j] sits on the *south* face of row j, so only global row 0 is a wall;
     the north wall is the virtual face Ny (not stored).
+
+    Single device: a thin in-place row write (y is axis 1 in both the
+    (X, Y, Z) and the kernel's transposed (Z, Y, X) layout) — the full-array
+    mask multiply costs a whole HBM pass (~0.9 ms at the flagship size).
+    Distributed: the row-index mask multiply (only the south-most ranks own
+    global row 0, and a dynamic-index write would clamp out of range).
     """
+    if comm is None:
+        return v.at[:, 0].set(0.0)
     rows = _row_index(grid, comm)
     mask = (rows != 0).astype(v.dtype)
     if v.ndim == 3:
@@ -476,6 +484,15 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         and grid.Ny > 2 * grid.hy
     )
     updated = None
+    uv_ints = None
+    # in-kernel wall masking + barotropic depth integrals (serial fast path):
+    # the kernel zeroes the southern-wall row of Gv/v* itself (local row 0 is
+    # global row 0 only without a comm) and accumulates zint(u), zint(v),
+    # zint(u*), zint(v*) in VMEM scratch, replacing two full-field XLA
+    # reduction passes in barotropic_substep.  Immersed grids keep the
+    # outside zints (the updated fields are re-masked after the kernel).
+    wall_v_kernel = comm is None
+    use_ints = ab2 is not None and comm is None and not grid.immersed
     if use_zslab:
         # Fused transposed extends (one HBM materialization per kernel input
         # instead of extend + transpose): valid whenever the kernel consumes
@@ -527,9 +544,13 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         res = zslab_tendencies(
             cfg, grid_c, f_c, ue_k, ve_k, tr_k, x_wrap=(comm is None), ab2=ab2,
             raw_fields=raw, storage_dtype=storage, t3_operands=t3ops,
-            g_t3=g_t3, upd_t3=upd_t3,
+            g_t3=g_t3, upd_t3=upd_t3, wall_v=wall_v_kernel, integrals=use_ints,
         )
-        if ab2 is not None:
+        if ab2 is not None and use_ints:
+            Gu, Gv, Gtr, u_upd, v_upd, tr_upd, ints = res
+            updated = (u_upd, v_upd, tr_upd)
+            uv_ints = list(ints)
+        elif ab2 is not None:
             Gu, Gv, Gtr, u_upd, v_upd, tr_upd = res
             updated = (u_upd, v_upd, tr_upd)
         else:
@@ -695,10 +716,16 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                 Gu = Gu + incG
                 if updated is not None:
                     u_upd = u_upd + dtc1 * incU
+                if uv_ints is not None:
+                    # the top-cell deposit integrates to exactly the flux
+                    uv_ints[2] = uv_ints[2] + dtc1 * fa * dz_top
             elif name == "v":
                 Gv = Gv + incG
                 if updated is not None:
                     v_upd = v_upd + dtc1 * incU
+                if uv_ints is not None:
+                    # wall row excluded: v* is wall-masked after the deposit
+                    uv_ints[3] = uv_ints[3] + dtc1 * (fa * dz_top).at[:, 0].set(0.0)
             else:
                 Gtr[name] = Gtr[name] + incG
                 if updated is not None:
@@ -716,10 +743,11 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         if updated is not None:
             u_upd = u_upd * (_t3(um) if upd_t3 else um)
             v_upd = v_upd * (_t3(vm) if upd_t3 else vm)
-    Gv = mask_v_wall(grid, Gv, comm)
+    if not (use_zslab and wall_v_kernel):  # kernel already zeroed the wall row
+        Gv = mask_v_wall(grid, Gv, comm)
     if updated is not None:
         updated = (u_upd, v_upd, tr_upd)
-    return Gu, Gv, Geta, Gtr, diffusivities, updated
+    return Gu, Gv, Geta, Gtr, diffusivities, updated, uv_ints
 
 
 def _ab2_coeffs(cfg, state, dtype):
@@ -773,7 +801,7 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
     if fuse_ab2:
         ab2 = (jnp.stack([dt * c1, dt * c2]).reshape(1, 2), state.Gu, state.Gv,
                state.Gtracers)
-    Gu, Gv, Geta, Gtr, diffusivities, updated = compute_tendencies(
+    Gu, Gv, Geta, Gtr, diffusivities, updated, uv_ints = compute_tendencies(
         cfg, grid, state, comm, surface_fluxes, restoring, ab2=ab2, g_t3=g_t3
     )
 
@@ -799,7 +827,7 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
     if isinstance(cfg.free_surface, SplitExplicitFreeSurface):
         eta, u_new, v_new = barotropic_substep(
             cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt, comm,
-            uv_t3=upd_t3,
+            uv_t3=upd_t3, integrals=uv_ints,
         )
     else:
         eta = state.eta + dt * (c1 * Geta + c2 * state.Geta)

@@ -251,7 +251,7 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                      interpret=False, x_wrap=True, ab2=None, raw_fields=None,
                      storage_dtype=None, t3_operands=None, g_t3=False,
-                     upd_t3=False):
+                     upd_t3=False, wall_v=False, integrals=False):
     """Fused tendency stage with transposed z-slab streaming.
 
     Requires hz >= 3 and Nz % bz == 0. Returns interior (Gu, Gv, {Gc}).
@@ -290,7 +290,23 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     field_new = field + dt*c1*G + dt*c2*G_prev.  This saves one full HBM
     read+write round trip per prognostic field (the fields are already in
     VMEM as kernel windows).  The caller remains responsible for wall/
-    immersed masking of the updated fields.
+    immersed masking of the updated fields, except:
+
+    ``wall_v=True`` zeroes the southern-wall row (GLOBAL y row 0) of Gv and
+    v_new inside the kernel — the in-kernel equivalent of
+    ``models.hydrostatic.mask_v_wall`` on a single device, saving its
+    full-array multiply pass.  Only valid when local row 0 IS global row 0
+    (``comm is None``).
+
+    ``integrals=True`` (requires ab2) additionally returns the barotropic
+    depth integrals ``(U0, V0, Us, Vs)`` as (Ny, Nxp) arrays — zint of the
+    *input* u/v and of the *updated* u*/v* — accumulated across z windows in
+    VMEM scratch, replacing two full-field XLA reduction passes in
+    ``barotropic_substep``.  Only valid when the updated fields receive no
+    further interior modification before the barotropic solve (single
+    device, non-immersed, no u/v surface fluxes).  Summation runs z-block-
+    sequentially, so the values agree with ``jnp.sum`` to f32 rounding, not
+    bitwise.
     """
     import os
 
@@ -535,18 +551,25 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     n_in = n_fields + 1 + len(metrics) + 3
     if ab2 is not None:
         n_in += 1 + n_prog  # SMEM (dt*c1, dt*c2) + prev tendencies
+    if integrals and ab2 is None:
+        raise ValueError("integrals=True requires the fused AB2 update (ab2)")
     n_out = n_prog if ab2 is None else 2 * n_prog
+    n_int = 4 if integrals else 0  # U0, V0, Us, Vs 2-D outputs
 
     def kernel(*refs):
         ins = refs[:n_in]
-        outs = refs[n_in : n_in + n_out]
-        w_scr, c_scr = refs[n_in + n_out], refs[n_in + n_out + 1]
+        outs = refs[n_in : n_in + n_out + n_int]
+        scr0 = n_in + n_out + n_int
+        w_scr, c_scr = refs[scr0], refs[scr0 + 1]
+        int_scr = refs[scr0 + 2 : scr0 + 2 + n_int]
         k = pl.program_id(2)
 
         @pl.when(k == 0)
         def _init():
             w_scr[...] = jnp.zeros((byh, bxh), acc_dtype)
             c_scr[...] = jnp.zeros((byh, bxh), acc_dtype)
+            for s in int_scr:
+                s[...] = jnp.zeros((by, bx), acc_dtype)
 
         # bf16-storage mode: windows arrive bf16 and upcast once in VMEM;
         # every downstream op then runs at f32 (dtype)
@@ -595,6 +618,12 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
 
             Gu_i = tile.interior(Gu_w)
             Gv_i = tile.interior(Gv_w)
+            if wall_v:
+                # in-kernel mask_v_wall: zero the southern wall (global row 0)
+                j = pl.program_id(1)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (by, 1), 0) + j * by
+                wmask = (rows != 0).astype(dtype)
+                Gv_i = Gv_i * wmask[None]
             Gtr_i = {name: tile.interior(Gtr_w[name]) for name in tracer_names}
             outs[0][...] = Gu_i.astype(out_dtype)
             outs[1][...] = Gv_i.astype(out_dtype)
@@ -611,10 +640,23 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                     tile.interior(trw[name]) for name in tracer_names
                 ]
                 Gnow = [Gu_i, Gv_i] + [Gtr_i[name] for name in tracer_names]
+                new = []
                 for t in range(n_prog):
-                    outs[n_prog + t][...] = (
-                        cur[t] + a_s * Gnow[t] + b_s * prev[t]
-                    ).astype(dtype)
+                    val = (cur[t] + a_s * Gnow[t] + b_s * prev[t]).astype(dtype)
+                    if wall_v and t == 1:
+                        val = val * wmask[None]
+                    outs[n_prog + t][...] = val
+                    new.append(val)
+                if integrals:
+                    # barotropic depth integrals accumulated across z windows
+                    dzi = dz_cw[gz : gz + bz, gy : gy + by, :]
+                    for s, fld in zip(int_scr, (cur[0], cur[1], new[0], new[1])):
+                        s[...] = s[...] + jnp.sum(
+                            (fld * dzi).astype(acc_dtype), axis=0)
+                        # write-through: the (j, i) output block stays VMEM-
+                        # resident across the k sweep; the final value lands
+                    for t in range(n_int):
+                        outs[n_out + t][...] = int_scr[t][...]
 
         # advance carries by bz levels: next window's face 0 is this window's
         # face bz; next csum covers cells < its first level
@@ -634,17 +676,41 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     out_shapes = [sds(out_dtype) for _ in range(n_prog)]
     if ab2 is not None:
         out_shapes += [sds(dtype) for _ in range(n_prog)]
+    int_spec = []
+    if integrals:
+        def sds2(dt_):
+            if vma:
+                return jax.ShapeDtypeStruct((Ny, Nxp), dt_, vma=vma)
+            return jax.ShapeDtypeStruct((Ny, Nxp), dt_)
+
+        out_shapes += [sds2(acc_dtype) for _ in range(n_int)]
+        int_spec = [pl.BlockSpec((by, bx), lambda i, j, k: (j, i),
+                                 memory_space=pltpu.VMEM)] * n_int
     flops_per_cell = 600 if cfg.tracer_advection == "weno5" else 200
+    # Alias each prev-G operand to the matching new-G output: both use the
+    # same non-overlapping (bz, by, bx) block map, and every block's input
+    # prefetch strictly precedes its output write-back in the pipeline, so
+    # the update is in-place at HBM.  In the fused loop this lets the
+    # while-carried G buffers update in place — without it XLA copies each
+    # carried G at the loop head (~0.9 ms/array at the flagship size,
+    # measured round 3).  When the caller still consumes the prev-G value
+    # after the call (overlap strips), XLA inserts a defensive copy — same
+    # cost as before, still correct.
+    aliases = {}
+    if ab2 is not None:
+        first_prev = n_fields + 1 + len(metrics) + 3 + 1
+        aliases = {first_prev + t: t for t in range(n_prog)}
     outs = pl.pallas_call(
         kernel,
         grid=(gxn, gyn, gzn),
         in_specs=in_specs,
-        out_specs=[out_spec] * n_out,
+        out_specs=[out_spec] * n_out + int_spec,
         out_shape=out_shapes,
+        input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((byh, bxh), acc_dtype),
             pltpu.VMEM((byh, bxh), acc_dtype),
-        ],
+        ] + [pltpu.VMEM((by, bx), acc_dtype)] * n_int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             # Mosaic's default scoped-VMEM limit is 16 MB; v5e has 128 MB of
@@ -714,4 +780,9 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     t3u = (lambda o: o) if upd_t3 else t3o
     u_new, v_new = t3u(outs[n_prog]), t3u(outs[n_prog + 1])
     tr_new = {name: t3u(outs[n_prog + 2 + t]) for t, name in enumerate(tracer_names)}
+    if integrals:
+        # (Ny, Nxp) -> (Nx, Ny): thin 2-D transposes for the barotropic solve
+        ints = tuple(jnp.transpose(outs[n_out + t], (1, 0))[:Nx]
+                     for t in range(n_int))
+        return Gu, Gv, Gtr, u_new, v_new, tr_new, ints
     return Gu, Gv, Gtr, u_new, v_new, tr_new

@@ -156,7 +156,7 @@ def test_zslab_kernel_core_independent_of_exchange(monkeypatch, fused):
 
     outs = {}
     for tag, poison in [("clean", False), ("poisoned", True)]:
-        Gu, Gv, _, Gtr, _, upd = compute_tendencies(
+        Gu, Gv, _, Gtr, _, upd, _ = compute_tendencies(
             cfg, grid, state, comm=_StubComm(poison=poison), ab2=ab2
         )
         fields = [Gu, Gv] + [Gtr[k] for k in sorted(Gtr)]

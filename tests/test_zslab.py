@@ -651,3 +651,47 @@ def test_pick_by_prefers_single_window():
     assert _pick_by(768, 4, 24, 8) == 24  # large Ny: divisor search intact
     assert _pick_by(40, 4, 24, 8) == 8    # conforming divisor found
     assert _pick_by(35, 4, 24, 8) == 35   # no conforming divisor: fallback
+
+
+def test_zslab_wall_v_and_integrals():
+    """``wall_v=True`` zeroes global y-row 0 of Gv and v* in-kernel
+    (== mask_v_wall on one device) and ``integrals=True`` returns the
+    barotropic depth integrals (U0, V0, Us, Vs) matching jnp zint of the
+    kernel's own updated fields (block-sequential z summation: allclose,
+    not bitwise)."""
+    import jax
+
+    cfg = baroclinic_instability_config()
+    grid = simple_latitude_longitude_grid(64, 16, 16, dtype=jnp.float32)
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    ue = extend_field(grid, state.u, "u")
+    ve = extend_field(grid, state.v, "v")
+    tr_e = {k: extend_field(grid, c, "c") for k, c in state.tracers.items()}
+    f_ff = coriolis_ff(grid, cfg.coriolis).astype(jnp.float32)
+    dt = jnp.float32(60.0)
+    ab = jnp.stack([dt * 1.6, dt * (-0.6)]).reshape(1, 2)
+    ab2 = (ab, state.Gu, state.Gv, state.Gtracers)
+
+    base = zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, interpret=True,
+                            ab2=ab2, bx=32, by=8, bz=8)
+    Gu, Gv, Gtr, u_n, v_n, tr_n, ints = zslab_tendencies(
+        cfg, grid, f_ff, ue, ve, tr_e, interpret=True, ab2=ab2,
+        bx=32, by=8, bz=8, wall_v=True, integrals=True)
+
+    # wall_v == post-hoc mask of the unmasked outputs
+    assert np.asarray(Gv)[:, 0].max() == 0.0
+    assert np.asarray(v_n)[:, 0].max() == 0.0
+    np.testing.assert_array_equal(
+        np.asarray(Gv), np.asarray(base[1].at[:, 0].set(0.0)))
+    np.testing.assert_array_equal(
+        np.asarray(v_n), np.asarray(base[4].at[:, 0].set(0.0)))
+    np.testing.assert_array_equal(np.asarray(Gu), np.asarray(base[0]))
+
+    hz, Nz = grid.hz, grid.Nz
+    dz = grid.dz_c[:, :, hz : hz + Nz]
+    zint = lambda a: np.asarray(jnp.sum(a * dz, axis=2))
+    for got, want in zip(
+        ints, (zint(state.u), zint(state.v), zint(u_n), zint(v_n))
+    ):
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=1e-6)
