@@ -229,21 +229,24 @@ def main():
         except Exception:
             pass
     if bytes_per_step is None:
-        # fused-kernel pass model (measured profile, round 2): z-slab kernel
-        # reads u,v,T,S,be windows at 1.75x z-overlap + 4 prev-G blocks and
-        # writes 4 G + 4 updated fields (~17 passes); buoyancy precompute +
-        # b_total ~4; 4 halo extends ~12 (pad + strips, measured not ideal);
-        # barotropic stage (VMEM-resident kernel + zints + planes) ~6;
-        # masking/eta/misc ~3  =>  ~42 passes/step.  The climate config adds
-        # the 5th prognostic tracer (e), CATKE diffusivity columns, the
-        # implicit vertical solves, immersed masking, and the interface
-        # fluxes — roughly +28 passes by the same accounting.
+        # fused-kernel pass model (measured profile, round 3): z-slab kernel
+        # reads u,v,T,S,be windows at 1.75x z x 1.33x y window overlap
+        # (~11.6) + 4 prev-G blocks (aliased in-place) and writes 4 G + 4
+        # updated fields (~24 passes); 4 halo extends + buoyancy/b_total
+        # precompute ~9; barotropic stage (VMEM-resident substep kernel,
+        # in-kernel zints, corrections) ~4; eta/misc ~1  =>  ~38 passes/step.
+        # Round-3 cuts vs the old 42: prev-G loop-head copies (aliasing),
+        # zint reductions (in-kernel integrals), wall-mask passes (thin
+        # writes).  The climate config adds the 5th prognostic tracer (e),
+        # CATKE diffusivity columns, the implicit vertical solves, immersed
+        # masking, and the interface fluxes — roughly +28 passes by the
+        # same accounting.
         if args.config == "atmosphere":
             # SW step: 3 extended reads + 3 G + 3 updated writes + stencil
             # temporaries ~ 15 full-array passes
             passes = 15
         else:
-            passes = (70 if args.config == "climate" else 42) if uses_zslab else 170
+            passes = (66 if args.config == "climate" else 38) if uses_zslab else 170
         bytes_per_step = passes * cells * jnp.dtype(dtype).itemsize
     hbm_gbs = bytes_per_step * args.steps / elapsed / 1e9
     peak = peak_hbm_gbs()
@@ -274,21 +277,36 @@ def main():
         # (f32x2 double-single ~emulated f64 — array path only: two-limb
         # arithmetic has no Pallas lowering, see docs/PRECISION.md), plus the
         # historical whole-bf16 array row (documented dead end on v5e).
-        def row(tag, compute_dtype, steps):
-            cfgp = dataclasses.replace(cfg, compute_dtype=compute_dtype)
-            stp = baroclinic_instability_state(grid)
-            ep, _ = time_loop(lp, cfgp, grid, stp, jnp.asarray(args.dt, dtype),
-                              steps, args.warmup, _sync)
-            extra[f"{tag}_ms_per_step"] = round(1e3 * ep / steps, 2)
-            extra[f"{tag}_vs_baseline"] = round(
-                cells * steps / ep / REFERENCE_CELL_STEPS_PER_SEC, 4)
+        def row(tag, compute_dtype, steps, shrink=1):
+            # A companion-row failure must never kill the headline bench
+            # (the driver checks rc == 0): record the first error line.
+            try:
+                if shrink > 1:
+                    g = simple_latitude_longitude_grid(
+                        args.nx // shrink, args.ny // shrink, args.nz,
+                        dtype=dtype)
+                    extra[f"{tag}_grid"] = f"{g.Nx}x{g.Ny}x{args.nz}"
+                else:
+                    g = grid
+                cells_r = g.Nx * g.Ny * args.nz
+                cfgp = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+                stp = baroclinic_instability_state(g)
+                ep, _ = time_loop(lp, cfgp, g, stp, jnp.asarray(args.dt, dtype),
+                                  steps, args.warmup, _sync)
+                extra[f"{tag}_ms_per_step"] = round(1e3 * ep / steps, 2)
+                extra[f"{tag}_vs_baseline"] = round(
+                    cells_r * steps / ep / REFERENCE_CELL_STEPS_PER_SEC, 4)
+            except Exception as e:  # pragma: no cover - hardware-dependent
+                extra[f"{tag}_error"] = str(e).split("\n")[0][:160]
 
         row("bf16", "bfloat16", args.steps)
         if uses_zslab:  # bf16s exists only as a kernel mode
             row("bf16s", "bf16s", args.steps)
-        # f32x2 runs ~4x the array-path cost: 32 steps keeps the bench run
-        # bounded; the second-loop methodology is unchanged
-        row("f32x2", "f32x2", min(args.steps, 32))
+        # f32x2 runs ~4x the array-path cost AND doubles every buffer (two
+        # limbs): the flagship grid exceeds one v5e's 16 GB at compile time
+        # (measured round 3: 15.87 G needed), so this row runs at half
+        # resolution (per-cell throughput is what it reports) with 32 steps
+        row("f32x2", "f32x2", min(args.steps, 32), shrink=2)
 
     print(
         json.dumps(

@@ -1104,15 +1104,18 @@ def _loop_extended(cfg, grid, state, dt, n):
         )
         c1, c2 = _ab2_coeffs(cfg, st, dtype)
         ab = jnp.stack([dt * c1, dt * c2]).reshape(1, 2)
-        Gu, Gv, Gtr, u_star, v_star, tr_new = zslab_tendencies(
+        # wall_v + integrals mirror time_step's serial kernel call exactly —
+        # all three loop forms (plain, g_t3, extended-carry) must stay
+        # bitwise-identical (tests/test_zslab.py)
+        Gu, Gv, Gtr, u_star, v_star, tr_new, ints = zslab_tendencies(
             cfg, grid, f_ff, ue, ve, tre,
-            ab2=(ab, c["Gu"], c["Gv"], c["Gtr"]),
+            ab2=(ab, c["Gu"], c["Gv"], c["Gtr"]), wall_v=True, integrals=True,
         )
-        Gv = mask_v_wall(grid, Gv)
         v_star = mask_v_wall(grid, v_star)
 
         eta, u_new, v_new = barotropic_substep(
-            cfg, grid, st, u_star, v_star, None, None, dt, None
+            cfg, grid, st, u_star, v_star, None, None, dt, None,
+            integrals=list(ints),
         )
         v_new = mask_v_wall(grid, v_new)
 
