@@ -743,8 +743,11 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         if updated is not None:
             u_upd = u_upd * (_t3(um) if upd_t3 else um)
             v_upd = v_upd * (_t3(vm) if upd_t3 else vm)
-    if not (use_zslab and wall_v_kernel):  # kernel already zeroed the wall row
-        Gv = mask_v_wall(grid, Gv, comm)
+    # Always re-mask: the kernel's wall_v zeroed ITS Gv output, but the
+    # post-kernel increments above (v surface flux deposit, explicit-FS eta
+    # gradient) can re-add wall-row values. On a single device this is a
+    # thin in-place row write (mask_v_wall), so the redundancy is free.
+    Gv = mask_v_wall(grid, Gv, comm)
     if updated is not None:
         updated = (u_upd, v_upd, tr_upd)
     return Gu, Gv, Geta, Gtr, diffusivities, updated, uv_ints

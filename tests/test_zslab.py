@@ -695,3 +695,43 @@ def test_zslab_wall_v_and_integrals():
     ):
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
                                    atol=1e-6)
+
+
+def test_zslab_integrals_with_surface_fluxes_end_to_end(monkeypatch):
+    """The in-kernel barotropic integrals stay consistent through the
+    post-kernel surface-flux deposits (hydrostatic.py folds dtc1*flux into
+    Us/Vs, wall row excluded for v) and barotropic_substep's integrals
+    branch: a kernel-path time_step with u/v/T fluxes must match the array
+    path, which computes every zint outside the kernel."""
+    import dataclasses
+
+    import jax
+
+    from gb25_tpu.models import time_step
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    fluxes = {
+        "u": 1e-4 * jax.random.normal(k1, (128, 32), jnp.float32),
+        "v": 1e-4 * jax.random.normal(k2, (128, 32), jnp.float32),
+        "T": 1e-5 * jax.random.normal(k3, (128, 32), jnp.float32),
+    }
+
+    cfg_k = dataclasses.replace(baroclinic_instability_config(), kernels="zslab")
+    cfg_a = dataclasses.replace(baroclinic_instability_config(), kernels="jnp")
+    step = jax.jit(time_step)
+    s_k, s_a = state, state
+    for _ in range(3):
+        s_k = step(cfg_k, grid, s_k, 60.0, surface_fluxes=fluxes)
+        s_a = step(cfg_a, grid, s_a, 60.0, surface_fluxes=fluxes)
+
+    # the wall row of the stored Gv must be zero on BOTH paths even though
+    # the v flux deposit re-adds wall-row values after the kernel
+    assert np.abs(np.asarray(s_k.Gv)[:, 0]).max() == 0.0
+    assert np.abs(np.asarray(s_a.Gv)[:, 0]).max() == 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=5e-6)
