@@ -695,41 +695,36 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         hz, Nz = grid.hz, grid.Nz
         dz_top = grid.dz_c[0, 0, hz + Nz - 1]
 
-        def top_inc(fa, like, t3):
-            # deposit fa into the top cell: z is axis 2 (X,Y,Z) or axis 0 (t3)
+        def add_top(arr, inc, t3):
+            # deposit inc into the top cell as a plane-indexed update (one
+            # dynamic-update-slice touching a single z plane) — NOT a
+            # full-field pad+add pass, which reads+writes the whole 3-D
+            # array just to modify the surface (measured 0.4 ms/field/step
+            # at 768x384x64): z is axis 2 (X,Y,Z) or axis 0 (t3: Z,Y,X)
             if t3:
-                return jnp.concatenate(
-                    [jnp.zeros_like(like[:-1]), jnp.transpose(fa, (1, 0))[None]],
-                    axis=0)
-            return jnp.concatenate(
-                [jnp.zeros_like(like[:, :, :-1]), fa[:, :, None]], axis=2)
+                return arr.at[-1].add(jnp.transpose(inc, (1, 0)))
+            return arr.at[:, :, -1].add(inc)
 
         for name, flux in surface_fluxes.items():
             fa = flux / dz_top
-            tgt_G = Gu if name == "u" else (Gv if name == "v" else Gtr[name])
-            incG = top_inc(fa, tgt_G, g_t3)
-            if updated is not None:
-                tgt_U = (u_upd if name == "u"
-                         else (v_upd if name == "v" else tr_upd[name]))
-                incU = incG if upd_t3 == g_t3 else top_inc(fa, tgt_U, upd_t3)
             if name == "u":
-                Gu = Gu + incG
+                Gu = add_top(Gu, fa, g_t3)
                 if updated is not None:
-                    u_upd = u_upd + dtc1 * incU
+                    u_upd = add_top(u_upd, dtc1 * fa, upd_t3)
                 if uv_ints is not None:
                     # the top-cell deposit integrates to exactly the flux
                     uv_ints[2] = uv_ints[2] + dtc1 * fa * dz_top
             elif name == "v":
-                Gv = Gv + incG
+                Gv = add_top(Gv, fa, g_t3)
                 if updated is not None:
-                    v_upd = v_upd + dtc1 * incU
+                    v_upd = add_top(v_upd, dtc1 * fa, upd_t3)
                 if uv_ints is not None:
                     # wall row excluded: v* is wall-masked after the deposit
                     uv_ints[3] = uv_ints[3] + dtc1 * (fa * dz_top).at[:, 0].set(0.0)
             else:
-                Gtr[name] = Gtr[name] + incG
+                Gtr[name] = add_top(Gtr[name], fa, g_t3)
                 if updated is not None:
-                    tr_upd[name] = tr_upd[name] + dtc1 * incU
+                    tr_upd[name] = add_top(tr_upd[name], dtc1 * fa, upd_t3)
 
     if grid.immersed:
         # the stored G feeds next step's dt*c2 term masked, and the fused
