@@ -67,6 +67,19 @@ def immersed_masks(grid, comm=None):
     return c_mask, u_mask, v_mask
 
 
+def face_bottom_planes(grid, comm=None):
+    """(bu, bv): the *face* bottom heights ``max(be, be_neighbor)`` cropped
+    to the interior (Nx, Ny) — the exact comparands ``immersed_masks`` uses,
+    as 2-D planes for in-kernel mask reconstruction (``zc > bu`` at a cell
+    center reproduces ``u_mask`` bit-for-bit)."""
+    be = extend_field_xy(grid, grid.bottom_height, "c", comm)[:, :, None]
+    bu = jnp.maximum(be, sm(be, "x"))
+    bv = jnp.maximum(be, sm(be, "y"))
+    hx, hy = grid.hx, grid.hy
+    return (bu[hx : hx + grid.Nx, hy : hy + grid.Ny, 0],
+            bv[hx : hx + grid.Nx, hy : hy + grid.Ny, 0])
+
+
 def interior_masks(grid, comm=None):
     """(u_mask, v_mask) cropped to the interior, for masking updates."""
     c, u, v = immersed_masks(grid, comm)

@@ -489,10 +489,12 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     # the kernel zeroes the southern-wall row of Gv/v* itself (local row 0 is
     # global row 0 only without a comm) and accumulates zint(u), zint(v),
     # zint(u*), zint(v*) in VMEM scratch, replacing two full-field XLA
-    # reduction passes in barotropic_substep.  Immersed grids keep the
-    # outside zints (the updated fields are re-masked after the kernel).
+    # reduction passes in barotropic_substep.  On immersed grids the kernel
+    # masks the *accumulation* itself (face fluid masks rebuilt in-kernel
+    # from streamed 2-D face-bottom planes), so the integrals agree with
+    # zint of the re-masked updated fields.
     wall_v_kernel = comm is None
-    use_ints = ab2 is not None and comm is None and not grid.immersed
+    use_ints = ab2 is not None and comm is None
     if use_zslab:
         # Fused transposed extends (one HBM materialization per kernel input
         # instead of extend + transpose): valid whenever the kernel consumes
@@ -705,6 +707,16 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                 return arr.at[-1].add(jnp.transpose(inc, (1, 0)))
             return arr.at[:, :, -1].add(inc)
 
+        if uv_ints is not None and grid.immersed:
+            # the deposits below land on G/u*/v* BEFORE the immersed re-mask,
+            # so their contribution to the depth integrals must carry the
+            # top-plane face fluid masks (zero where an island pierces the
+            # surface layer)
+            um_top = grid.interior(u_mask_e)[:, :, -1]
+            vm_top = grid.interior(v_mask_e)[:, :, -1]
+        else:
+            um_top = vm_top = 1.0
+
         for name, flux in surface_fluxes.items():
             fa = flux / dz_top
             if name == "u":
@@ -713,14 +725,15 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                     u_upd = add_top(u_upd, dtc1 * fa, upd_t3)
                 if uv_ints is not None:
                     # the top-cell deposit integrates to exactly the flux
-                    uv_ints[2] = uv_ints[2] + dtc1 * fa * dz_top
+                    uv_ints[2] = uv_ints[2] + dtc1 * fa * dz_top * um_top
             elif name == "v":
                 Gv = add_top(Gv, fa, g_t3)
                 if updated is not None:
                     v_upd = add_top(v_upd, dtc1 * fa, upd_t3)
                 if uv_ints is not None:
                     # wall row excluded: v* is wall-masked after the deposit
-                    uv_ints[3] = uv_ints[3] + dtc1 * (fa * dz_top).at[:, 0].set(0.0)
+                    uv_ints[3] = uv_ints[3] + dtc1 * (
+                        fa * dz_top * vm_top).at[:, 0].set(0.0)
             else:
                 Gtr[name] = add_top(Gtr[name], fa, g_t3)
                 if updated is not None:

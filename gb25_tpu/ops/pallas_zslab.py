@@ -302,11 +302,14 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     depth integrals ``(U0, V0, Us, Vs)`` as (Ny, Nxp) arrays — zint of the
     *input* u/v and of the *updated* u*/v* — accumulated across z windows in
     VMEM scratch, replacing two full-field XLA reduction passes in
-    ``barotropic_substep``.  Only valid when the updated fields receive no
-    further interior modification before the barotropic solve (single
-    device, non-immersed, no u/v surface fluxes).  Summation runs z-block-
-    sequentially, so the values agree with ``jnp.sum`` to f32 rounding, not
-    bitwise.
+    ``barotropic_substep``.  Single-device only (the caller deposits any
+    u/v surface fluxes into the integrals itself).  On immersed grids the
+    u*/v* accumulation is masked in-kernel: the face fluid masks are
+    rebuilt per window from streamed 2-D face-bottom planes
+    (``grids.immersed.face_bottom_planes``), the same ``z_c > bottom``
+    comparison ``immersed_masks`` makes, so the integrals equal zint of
+    the re-masked updated fields.  Summation runs z-block-sequentially, so
+    the values agree with ``jnp.sum`` to f32 rounding, not bitwise.
     """
     import os
 
@@ -546,11 +549,23 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                          memory_space=pltpu.VMEM)
             for _ in range(n_prog)
         ]
+    # immersed grids: the updated-field integrals must exclude solid faces
+    # (the caller re-masks u*/v* after the kernel) — stream the 2-D *face*
+    # bottom planes in and rebuild the mask against z_c per window
+    imm_ints = bool(integrals) and getattr(grid, "immersed", False)
+    if imm_ints:
+        in_specs += [
+            pl.BlockSpec((1, by, bx), lambda i, j, k: (0, j, i),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ]
     out_spec = pl.BlockSpec((bz, by, bx), lambda i, j, k: (k, j, i),
                             memory_space=pltpu.VMEM)
     n_in = n_fields + 1 + len(metrics) + 3
     if ab2 is not None:
         n_in += 1 + n_prog  # SMEM (dt*c1, dt*c2) + prev tendencies
+    if imm_ints:
+        n_in += 2  # u-face / v-face bottom planes
     if integrals and ab2 is None:
         raise ValueError("integrals=True requires the fused AB2 update (ab2)")
     n_out = n_prog if ab2 is None else 2 * n_prog
@@ -650,7 +665,19 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                 if integrals:
                     # barotropic depth integrals accumulated across z windows
                     dzi = dz_cw[gz : gz + bz, gy : gy + by, :]
-                    for s, fld in zip(int_scr, (cur[0], cur[1], new[0], new[1])):
+                    up_i, vp_i = new[0], new[1]
+                    if imm_ints:
+                        # mask the *accumulation* only (the caller re-masks
+                        # the stored u*/v* after the kernel): rebuild the
+                        # face fluid masks from z_c vs the streamed-in face
+                        # bottom planes — the same comparison immersed_masks
+                        # makes, so zint agrees with the array path exactly
+                        zci = z_cw[gz : gz + bz, gy : gy + by, :]
+                        mu = (zci > ins[n_in - 2][:]).astype(acc_dtype)
+                        mv = (zci > ins[n_in - 1][:]).astype(acc_dtype)
+                        up_i = up_i * mu
+                        vp_i = vp_i * mv
+                    for s, fld in zip(int_scr, (cur[0], cur[1], up_i, vp_i)):
                         s[...] = s[...] + jnp.sum(
                             (fld * dzi).astype(acc_dtype), axis=0)
                         # write-through: the (j, i) output block stays VMEM-
@@ -755,6 +782,12 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
 
         operands += [ab, t3p(Gu_prev), t3p(Gv_prev)]
         operands += [t3p(Gtr_prev[n]) for n in tracer_names]
+    if imm_ints:
+        from gb25_tpu.grids.immersed import face_bottom_planes
+
+        bu_p, bv_p = face_bottom_planes(grid, None)
+        operands += [padx(jnp.transpose(bu_p, (1, 0))[None]),
+                     padx(jnp.transpose(bv_p, (1, 0))[None])]
     if vma:
         # under shard_map every pallas operand must carry the same varying
         # axes; replicated metrics/profiles are pvary-broadcast to match

@@ -697,6 +697,58 @@ def test_zslab_wall_v_and_integrals():
                                    atol=1e-6)
 
 
+def test_zslab_integrals_immersed_end_to_end(monkeypatch):
+    """In-kernel barotropic integrals on an IMMERSED grid: the kernel masks
+    the u*/v* accumulation itself (face fluid masks rebuilt from streamed
+    face-bottom planes) and the surface-flux deposits into Us/Vs carry the
+    top-plane masks, so the kernel path matches the array path — which
+    computes every zint from the re-masked fields — through multiple steps
+    of the full time_step (reference config analog: gaussian-islands
+    ImmersedBoundaryGrid, model_utils.jl:134-146)."""
+    import dataclasses
+
+    import jax
+
+    from gb25_tpu.grids.immersed import gaussian_islands_bottom
+    from gb25_tpu.models import time_step
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    grid = gaussian_islands_bottom(
+        simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32))
+    # PARTIAL columns (fluid face above solid cells) are where the in-kernel
+    # mask matters: the face is fluid (maskU=1, so barotropic_substep's
+    # GU masking can't save it), but unmasked u* in the solid cells below
+    # would pollute zint(u*).  Masks are column-monotone (grid-fitted
+    # bottom), so this is the only discriminating geometry.
+    from gb25_tpu.grids.immersed import immersed_masks
+
+    _, um, vm = immersed_masks(grid)
+    um_i, vm_i = grid.interior(um), grid.interior(vm)
+    partial_u = (um_i[..., -1] == 1.0) & (um_i.min(axis=2) == 0.0)
+    partial_v = (vm_i[..., -1] == 1.0) & (vm_i.min(axis=2) == 0.0)
+    assert bool(partial_u.any()) and bool(partial_v.any())
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    fluxes = {
+        "u": 1e-4 * jax.random.normal(k1, (128, 32), jnp.float32),
+        "v": 1e-4 * jax.random.normal(k2, (128, 32), jnp.float32),
+        "T": 1e-5 * jax.random.normal(k3, (128, 32), jnp.float32),
+    }
+
+    cfg_k = dataclasses.replace(baroclinic_instability_config(), kernels="zslab")
+    cfg_a = dataclasses.replace(baroclinic_instability_config(), kernels="jnp")
+    step = jax.jit(time_step)
+    s_k, s_a = state, state
+    for _ in range(3):
+        s_k = step(cfg_k, grid, s_k, 60.0, surface_fluxes=fluxes)
+        s_a = step(cfg_a, grid, s_a, 60.0, surface_fluxes=fluxes)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=5e-6)
+
+
 def test_zslab_integrals_with_surface_fluxes_end_to_end(monkeypatch):
     """The in-kernel barotropic integrals stay consistent through the
     post-kernel surface-flux deposits (hydrostatic.py folds dtc1*flux into
