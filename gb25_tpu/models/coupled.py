@@ -125,20 +125,21 @@ def compute_interface_fluxes(ccfg: CoupledConfig, grid, atmos, state, comm=None,
 
 
 def coupled_time_step(ccfg: CoupledConfig, grid, atmos, state, dt, comm=None,
-                      g_t3=False):
+                      g_t3=False, premasked=False):
     """One coupled step: interface fluxes, ocean hydrostatic step, then the
     freezing limiter (ClimaOcean: above_freezing_ocean_temperature!).
 
-    ``g_t3``: transposed-G carry (see models.hydrostatic.loop) — only
-    ``coupled_loop`` sets it."""
+    ``g_t3``/``premasked``: transposed-G carry / hoisted stage-1 mask (see
+    models.hydrostatic.loop and premask_state) — only ``coupled_loop`` sets
+    them."""
     fluxes, _ = compute_interface_fluxes(ccfg, grid, atmos, state, comm)
     state = time_step(ccfg.ocean, grid, state, dt, comm, surface_fluxes=fluxes,
-                      g_t3=g_t3)
+                      g_t3=g_t3, premasked=premasked)
     return limit_ocean_temperature(ccfg.sea_ice, state)
 
 
 def coupled_ice_time_step(ccfg, grid, atmos, state, ice, dt, comm=None,
-                          restoring=None):
+                          restoring=None, premasked=False):
     """One coupled step with the prognostic ``SlabSeaIce`` component:
     ice thermodynamics -> shaded/augmented interface fluxes -> free-drift
     ice advection -> ocean step -> freezing limiter. Returns (state, ice)."""
@@ -152,7 +153,7 @@ def coupled_ice_time_step(ccfg, grid, atmos, state, ice, dt, comm=None,
         ice_cover=coup["shade"], ice_coupling=coup)
     ice_new = seaice_advect(si, grid, state, ice_th, af, dt, comm)
     state = time_step(ccfg.ocean, grid, state, dt, comm, surface_fluxes=fluxes,
-                      restoring=restoring)
+                      restoring=restoring, premasked=premasked)
     return limit_ocean_temperature(si, state), ice_new
 
 
@@ -163,28 +164,34 @@ def coupled_ice_loop(ccfg, grid, atmos, state, ice, dt, n, comm=None,
     The transposed-G fast carry (``g_t3_loop``) is not wired here: the
     prognostic-ice configuration is not the benchmark path."""
 
+    from gb25_tpu.models.hydrostatic import premask_state
+
+    state = premask_state(grid, state, comm)
+
     def body(_, c):
         s, i = c
         return coupled_ice_time_step(ccfg, grid, atmos, s, i, dt, comm,
-                                     restoring=restoring)
+                                     restoring=restoring, premasked=True)
 
     return jax.lax.fori_loop(0, n, body, (state, ice))
 
 
 def coupled_loop(ccfg, grid, atmos, state, dt, n, comm=None):
-    from gb25_tpu.models.hydrostatic import _g_t3_ok, g_t3_loop
+    from gb25_tpu.models.hydrostatic import _g_t3_ok, g_t3_loop, premask_state
 
+    state = premask_state(grid, state, comm)
     if _g_t3_ok(ccfg.ocean, grid, state, comm):
         # transposed-G carry across the coupled loop (the climate fast
         # path): the stored tendencies stay in the kernel's (Z, Y, X)
         # layout between iterations — see models.hydrostatic.loop
         return g_t3_loop(
             lambda s: coupled_time_step(ccfg, grid, atmos, s, dt, comm,
-                                        g_t3=True),
+                                        g_t3=True, premasked=True),
             state, n)
 
     def body(_, s):
-        return coupled_time_step(ccfg, grid, atmos, s, dt, comm)
+        return coupled_time_step(ccfg, grid, atmos, s, dt, comm,
+                                 premasked=True)
 
     return jax.lax.fori_loop(0, n, body, state)
 

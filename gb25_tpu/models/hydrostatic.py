@@ -769,16 +769,38 @@ def _ab2_coeffs(cfg, state, dtype):
     return c1, c2
 
 
+def premask_state(grid, state, comm=None):
+    """Apply the stage-1 immersed mask to the prognostic velocities once.
+
+    Loop wrappers call this BEFORE entering the on-device loop and pass
+    ``premasked=True`` to every in-loop ``time_step``: the step's own
+    epilogue re-masks u/v after the barotropic correction (and after the
+    north-fold projection), so "velocities are masked" is a loop invariant
+    and the per-iteration stage-1 mask is two redundant full-field HBM
+    passes (~1 ms/step at the climate size).  Masking is idempotent
+    (exact 0/1 multiply), so hoisting it is bitwise-neutral."""
+    if not grid.immersed:
+        return state
+    from gb25_tpu.grids.immersed import interior_masks
+
+    u_mask, v_mask = interior_masks(grid, comm)
+    return state.replace(u=state.u * u_mask, v=state.v * v_mask)
+
+
 def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=None,
-              surface_fluxes=None, restoring=None, g_t3=False):
+              surface_fluxes=None, restoring=None, g_t3=False, premasked=False):
     """One full quasi-AB2 hydrostatic time step (stages 1-8). Pure function.
 
     ``g_t3``: the stored tendencies in ``state`` arrive AND leave in the
     kernel's transposed (Z, Y, X) layout (the transposed-G carry of
-    ``loop``; see ``_g_t3_ok``). Only ``loop`` sets this."""
+    ``loop``; see ``_g_t3_ok``). Only ``loop`` sets this.
+
+    ``premasked``: the caller guarantees the stage-1 immersed mask already
+    holds on ``state.u/v`` (see ``premask_state``); only loop wrappers set
+    this."""
     dtype = state.u.dtype
     dt = jnp.asarray(dt, dtype)
-    if grid.immersed:
+    if grid.immersed and not premasked:
         # stage 1 masks the *prognostic* velocities, not just the extended
         # tendency inputs (reference: mask_immersed_model_fields!,
         # precompile.jl:34): barotropic_substep depth-integrates state.u/v
@@ -993,12 +1015,14 @@ def loop(cfg, grid, state, dt, n, comm=None):
     if _fast_loop_ok(cfg, grid, state, comm):
         return _loop_extended(cfg, grid, state, dt, n)
 
+    state = premask_state(grid, state, comm)
     if _g_t3_ok(cfg, grid, state, comm):
         return g_t3_loop(
-            lambda s: time_step(cfg, grid, s, dt, comm, g_t3=True), state, n)
+            lambda s: time_step(cfg, grid, s, dt, comm, g_t3=True,
+                                premasked=True), state, n)
 
     def body(_, s):
-        return time_step(cfg, grid, s, dt, comm)
+        return time_step(cfg, grid, s, dt, comm, premasked=True)
 
     return jax.lax.fori_loop(0, n, body, state)
 

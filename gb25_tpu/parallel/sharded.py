@@ -143,12 +143,21 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
         else:
             lgrid = localize_grid(gridrep, comm, nxl, nyl)
 
-        def one(s):
-            return time_step(cfg, lgrid, s, dt, comm, restoring=lrest)
+        def one(s, premasked=False):
+            return time_step(cfg, lgrid, s, dt, comm, restoring=lrest,
+                             premasked=premasked)
 
         if n_inner is None:
             return one(state)
-        return jax.lax.fori_loop(0, n_inner, lambda _, s: one(s), state)
+        # hoist the stage-1 immersed mask out of the loop (see
+        # models.hydrostatic.premask_state): the step epilogue re-masks, so
+        # masking is a loop invariant and the per-iteration multiply is
+        # redundant HBM traffic
+        from gb25_tpu.models.hydrostatic import premask_state
+
+        state = premask_state(lgrid, state, comm)
+        return jax.lax.fori_loop(
+            0, n_inner, lambda _, s: one(s, premasked=True), state)
 
     def fn(state, dt):
         return _local_step(state, dt, grid, restoring)
