@@ -406,6 +406,17 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     # v5e sweep (1536x768x64, round 2): by=24 beats 16 (window y-overlap
     # (by+2hy)/by drops 1.5 -> 1.33; 44.4 vs 45.5 ms/step full-bench);
     # by=32 overflows VMEM at full-width x windows
+    if Nxp + 2 * hx <= 800 and Ny > 48 and not (bf16 or sbf16):
+        # narrower x windows free enough VMEM for taller y tiles: the
+        # climate grid (768x384x64, x window 784) measured by=48 -> 19.2
+        # ms/step vs 21.1 at by=24 (by=32: 20.3) on v5e; the y-window
+        # overlap (by+2gy)/by drops 1.33 -> 1.17.  Full flagship width
+        # (1536) keeps the 24 cap (by>=32 overflows VMEM there).  Ny > 48
+        # keeps small (test-scale) grids on their historical tiling: a
+        # different window count perturbs XLA fusion around the kernel and
+        # thus f32 reassociation at the ~1e-7 level, which the bitwise
+        # loop-form gates are calibrated against (tests/test_zslab.py).
+        by_cap = max(by_cap, 48)
     by = by or _pick_by(Ny, gy, 8 if bf16 else by_cap, 16 if (bf16 or sbf16) else 8)
     if Ny % by:
         # a non-divisor override (GB25_ZSLAB_BY / explicit by) would leave
