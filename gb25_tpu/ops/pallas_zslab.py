@@ -151,20 +151,26 @@ def _generation_tile_caps():
 
 
 def build_t3_operands(cfg, grid, u, v, tracers, um_e=None, vm_e=None,
-                      storage_dtype=None):
+                      storage_dtype=None, ue_t=None, ve_t=None):
     """Interior prognostics -> transposed extended kernel operands
     ``(ue_t, ve_t, tr_t, be_t, b_total_t)`` via ``extend_field_t3`` (ONE HBM
     materialization per field).  Shared by the z-slab tendency kernel's
     ``raw_fields`` mode and the CATKE diffusivity kernel
     (ops/pallas_catke.py) so the climate fast path extends each prognostic
     exactly once per step.  LOCAL-extension semantics (single device, or the
-    overlap path's local-only extension)."""
+    overlap path's local-only extension).
+
+    ``ue_t``/``ve_t``: already-extended transposed velocity buffers (the
+    extended-carry loop, models.hydrostatic._loop_extended) — skip their
+    extends (and the ``u``/``v`` arguments, which may then be None)."""
     from gb25_tpu.ops.halos import extend_field_t3
 
-    dtype = u.dtype
+    dtype = ue_t.dtype if u is None else u.dtype
     sbf16 = storage_dtype == jnp.bfloat16
-    ue_t = extend_field_t3(grid, u, "u")
-    ve_t = extend_field_t3(grid, v, "v")
+    if ue_t is None:
+        ue_t = extend_field_t3(grid, u, "u")
+    if ve_t is None:
+        ve_t = extend_field_t3(grid, v, "v")
     if um_e is not None:
         ue_t = ue_t * _t3(um_e)
         ve_t = ve_t * _t3(vm_e)
