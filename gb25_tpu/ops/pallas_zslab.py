@@ -160,12 +160,27 @@ def build_t3_operands(cfg, grid, u, v, tracers, um_e=None, vm_e=None,
     exactly once per step.  LOCAL-extension semantics (single device, or the
     overlap path's local-only extension).
 
-    ``ue_t``/``ve_t``: already-extended transposed velocity buffers (the
-    extended-carry loop, models.hydrostatic._loop_extended) — skip their
-    extends (and the ``u``/``v`` arguments, which may then be None)."""
+    ``ue_t``/``ve_t``: already-extended transposed velocity buffers — skip
+    their extends (and the ``u``/``v`` arguments, which may then be None).
+    No current caller passes these; they exist for a planned transposed
+    extended-carry rebuild of the fast loop (the present
+    models.hydrostatic._loop_extended carries untransposed buffers).
+    Contract: they must arrive in the COMPUTE dtype (f32) — the
+    ``storage_dtype`` downcast below is applied here, so passing
+    pre-downcast bf16 buffers would double-round and flip the bf16-EOS
+    branch into bf16 arithmetic."""
     from gb25_tpu.ops.halos import extend_field_t3
 
+    if u is None or v is None:
+        assert ue_t is not None and ve_t is not None, (
+            "build_t3_operands: u/v may only be omitted when pre-extended "
+            "transposed buffers ue_t/ve_t are both supplied"
+        )
     dtype = ue_t.dtype if u is None else u.dtype
+    assert dtype != jnp.bfloat16, (
+        "build_t3_operands: velocity operands must be compute dtype (f32); "
+        "storage lowering happens inside via storage_dtype"
+    )
     sbf16 = storage_dtype == jnp.bfloat16
     if ue_t is None:
         ue_t = extend_field_t3(grid, u, "u")

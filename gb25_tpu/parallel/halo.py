@@ -43,6 +43,14 @@ class MeshComm:
     # tripolar north fold (grids.tripolar): pole center index of the fold map
     north_fold: bool = False
     pole_index: int = 0
+    # force_ring: keep the ring/ppermute exchange structure even on axes with
+    # a single rank (identity permutes; BC blocks still substitute at walls).
+    # Purpose: measuring the decomposed (comm != None) code path on ONE chip
+    # (GB25_FORCE_COMM, VERDICT r3 missing #1) — a 1x1 mesh then runs the
+    # exact program a production tile runs (localize, blocked barotropic,
+    # W-wide extends, overlap strip stitch, per-step G transposes) instead
+    # of routing to the serial fast path.
+    force_ring: bool = False
 
     def x_offset(self, nx_local):
         return lax.axis_index(self.x_axis) * nx_local
@@ -57,7 +65,7 @@ class MeshComm:
                 f"along axis {axis}: use a smaller halo or fewer ranks"
             )
         lo_mode, hi_mode = modes
-        if R == 1:
+        if R == 1 and not self.force_ring:
             # single rank along this axis: purely local boundary handling
             lo, hi = ghost_blocks(a, h, axis, lo_mode, hi_mode)
             return jnp.concatenate([lo, a, hi], axis=axis)
@@ -66,6 +74,8 @@ class MeshComm:
         send_up = _take(a, slice(-h, None), axis)   # my top strip -> neighbor above
         send_dn = _take(a, slice(0, h), axis)       # my bottom strip -> neighbor below
         if periodic:
+            # R == 1 (force_ring): identity permutes — receiving your own
+            # opposite strip IS the periodic wrap, so values match serial
             perm_up = [(r, (r + 1) % R) for r in range(R)]
             perm_dn = [(r, (r - 1) % R) for r in range(R)]
         else:
@@ -100,7 +110,7 @@ class MeshComm:
         if hy:
             R = self.Ry
             fold_hi = fold_ghosts_north_dist(self, a, hy, kind)
-            if R == 1:
+            if R == 1 and not self.force_ring:
                 lo, _ = ghost_blocks(a, hy, 1, ylo, "zerograd")
                 hi = fold_hi
             else:

@@ -37,7 +37,7 @@ thin0 = jnp.asarray(np.random.default_rng(1).standard_normal((hz, Y, X)), jnp.fl
 
 def refresh(e):
     # transposed-layout ghost refresh: z wrap-free BCs as plain slab copies
-    # (zerograd-style), y mirror-style, x periodic wrap — same slab sizes and
+    # (zerograd-style), y zero-gradient, x periodic wrap — same slab sizes and
     # self-referential structure as ops.halos.refresh_halos_ext
     e = e.at[:hz].set(e[hz : 2 * hz])
     e = e.at[Z - hz :].set(e[Z - 2 * hz : Z - hz])

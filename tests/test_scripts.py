@@ -74,3 +74,30 @@ def test_climate_compile_dump_script(tmp_path):
     names = os.listdir(tmp_path)
     assert any("ocean_climate" in n and n.endswith(".stablehlo.mlir") for n in names)
     assert any("ocean_climate" in n and n.endswith(".hlo.txt") for n in names)
+
+
+def test_pod_launcher_strong_scaling(tmp_path):
+    """--strong holds the global grid fixed: per-chip tiles are
+    global/factors(n), recorded in run-info.toml (reference:
+    common_submission_generator.jl:108-112 strong sizing)."""
+    out = tmp_path / "jobs"
+    r = _run(["scripts/tpu_pod_launcher.py", "--sizes", "8,32",
+              "--strong", "--global-x", "6144", "--global-y", "3072",
+              "--out", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    # 8 chips -> factors (4,2) -> tile 1536x1536; 32 -> (8,4) -> 768x768
+    info8 = (out / "chips_8" / "run-info.toml").read_text()
+    assert "tile = [1536, 1536, 64]" in info8
+    assert 'scaling = "strong"' in info8
+    assert "global = [6144, 3072, 64]" in info8
+    info32 = (out / "chips_32" / "run-info.toml").read_text()
+    assert "tile = [768, 768, 64]" in info32
+    launcher32 = (out / "chips_32" / "launcher.sh").read_text()
+    assert "--tile-x 768 --tile-y 768" in launcher32
+
+
+def test_pod_launcher_strong_requires_global(tmp_path):
+    r = _run(["scripts/tpu_pod_launcher.py", "--strong",
+              "--out", str(tmp_path / "j")])
+    assert r.returncode != 0
+    assert "--global-x" in r.stderr

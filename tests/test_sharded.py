@@ -238,3 +238,38 @@ def test_make_mesh_warns_on_unbandable_multislice(monkeypatch):
     slice_of = lambda d: d.id // 2
     for y in range(4):
         assert len({slice_of(d) for d in m.devices[:, y]}) == 1
+
+
+def test_force_comm_1x1_matches_serial():
+    """GB25_FORCE_COMM / force_comm=True: the 1x1 mesh keeps the decomposed
+    (comm != None) program — identity-ring exchanges, localize_grid, blocked
+    barotropic, overlap strip stitch — and must still agree with serial at
+    the same tolerance as a real decomposition (the measurement mode of
+    VERDICT r3 missing #1 has to measure the *correct* program)."""
+    cfg, grid, state = _setup()
+
+    s_ref = state
+    step = jax.jit(time_step)
+    for _ in range(3):
+        s_ref = step(cfg, grid, s_ref, 60.0)
+
+    mesh = make_mesh(1, shape=(1, 1))
+    sfn = sharded_step_fn(cfg, grid, mesh, force_comm=True)
+    s_sh = shard_state(state, mesh)
+    for _ in range(3):
+        s_sh = sfn(s_sh, 60.0)
+
+    _compare_states(s_ref, s_sh, rtol=1e-9, atol=1e-13)
+
+
+def test_force_comm_emits_collective_permute():
+    """The forced-comm program must actually contain the ring exchanges
+    (collective-permutes) — otherwise it silently measures the serial path."""
+    cfg, grid, state = _setup(dtype=jnp.float32)
+    mesh = make_mesh(1, shape=(1, 1))
+    sfn = sharded_step_fn(cfg, grid, mesh, force_comm=True)
+    s_sh = shard_state(state, mesh)
+    hlo = sfn.lower(s_sh, jnp.float32(60.0)).compile().as_text()
+    assert "collective-permute" in hlo
+    for bad in ("all-gather", "all-reduce", "all-to-all"):
+        assert bad not in hlo, f"forbidden collective {bad} in compiled HLO"
