@@ -43,11 +43,21 @@ class SplitExplicitFreeSurface:
     over the window [t, t + 2*dt]; the prognostic state is replaced by the
     weighted average. ``averaging`` is "parabolic" (w ~ tau (2 - tau)) or
     "flat".
+
+    ``exchange_width``: halo width W of the blocked substep exchange
+    (models.free_surface; None = the grid halo).  Each width-W exchange
+    supports W substeps, so W = substeps runs the whole solve in ONE
+    blocked-kernel launch with ONE (2-D, cheap) exchange round — the
+    decomposed-path production setting (the serial path uses the whole-loop
+    VMEM kernel regardless).  Serial and distributed runs must use the SAME
+    value for serial-vs-sharded bitwise agreement, which the config knob
+    guarantees; tiles narrower than W+1 shrink it locally (warned).
     """
 
     substeps: int = 30
     gravitational_acceleration: float = 9.80665
     averaging: str = "parabolic"
+    exchange_width: int | None = None
 
 
 @static_pytree

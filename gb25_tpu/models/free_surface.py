@@ -81,6 +81,32 @@ def _metrics2(grid, h=1):
     return sl2(grid.dxc), sl2(grid.dxf), sl2(grid.dyc), sl2(grid.dyf), sl2(grid.azc)
 
 
+def _metrics2_exchange(grid, comm, W):
+    """Width-W 2-D metric planes for W beyond the stored grid halo
+    (``exchange_width`` > halo): rebuilt from the interior metrics by the
+    same exchange machinery as the fields — interior-seam ghosts are the
+    neighbor's true metrics; global-boundary ghosts use zero-gradient
+    (y wall) / periodic wrap (x).  Metrics are constant over the solve, so
+    under an outer ``fori_loop`` XLA hoists the whole construction out of
+    the steady state.  Wall-ghost metric values only influence the in-block
+    roundoff drift that every exchange re-zeroes (see ``per_block`` notes);
+    x-periodic and shard-interface ghosts are exact."""
+    hx, hy = grid.hx, grid.hy
+
+    def ext(m):
+        if m.shape[0] == 1:  # thin lat-lon y profile: extend y only
+            prof = m[:, hy : hy + grid.Ny, 0]  # (1, Ny)
+            if comm is not None:
+                return comm.extend_xy(prof, 0, W, ("wrap", "wrap"),
+                                      ("zerograd", "zerograd"))
+            return extend_axis(prof, W, 1, "zerograd", "zerograd")
+        interior = m[hx : hx + grid.Nx, hy : hy + grid.Ny, 0]
+        return _extend2_impl(grid, interior, "c", comm, W)
+
+    return (ext(grid.dxc), ext(grid.dxf), ext(grid.dyc), ext(grid.dyf),
+            ext(grid.azc))
+
+
 def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
                        comm=None, uv_t3=False, integrals=None):
     """Run the split-explicit barotropic solve; returns (eta_new, u_new, v_new).
@@ -130,14 +156,17 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
         U0, V0 = zint(state.u), zint(state.v)
         GU, GV = zint(Gu_ab), zint(Gv_ab)
 
-    # exchange width: the grid halo, clamped so strips (width W+1 for the
-    # depth field) never exceed the local tile extent on tiny/sliver tiles
+    # exchange width: the grid halo (or the config's exchange_width — up to
+    # `substeps`, making the whole solve ONE blocked-kernel launch + ONE
+    # exchange round), clamped so strips (width W+1 for the depth field)
+    # never exceed the local tile extent on tiny/sliver tiles
     # NOTE: W must be identical in the serial and distributed runs for bitwise
     # agreement (different block widths reassociate the substep arithmetic at
     # the 1e-12 level); on fold grids a sliver tile that cannot source the
     # W+1-wide exchange raises in fold_exchange_strips rather than silently
     # shrinking W locally.
-    W = min(grid.hx, grid.hy, grid.Nx - 1, grid.Ny - 1)
+    W_cfg = fs.exchange_width or min(grid.hx, grid.hy)
+    W = min(W_cfg, grid.Nx - 1, grid.Ny - 1)
     W = max(W, 1)
     # substeps supported per exchange: each FB substep advances the invalid
     # front by exactly ONE ring (the continuity update at ring r reads U at
@@ -194,7 +223,16 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
         GU_e = GU_e * maskU_e
         GV_e = GV_e * maskV_e
 
-    dxc, dxf, dyc, dyf, azc = _metrics2(grid, h=W)
+    if W <= min(grid.hx, grid.hy):
+        dxc, dxf, dyc, dyf, azc = _metrics2(grid, h=W)
+    else:
+        if getattr(grid, "north_fold", False):
+            raise NotImplementedError(
+                "exchange_width beyond the grid halo is not wired for "
+                "tripolar (north-fold) grids yet: metric fold ghosts need "
+                "the fold map; use exchange_width <= halo there"
+            )
+        dxc, dxf, dyc, dyf, azc = _metrics2_exchange(grid, comm, W)
 
     def interior(a):
         return a[W:-W, W:-W]

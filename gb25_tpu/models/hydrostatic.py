@@ -574,28 +574,46 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                  _window_tendency(cfg, grid_c, f_c, ue_c, ve_c, tr_c,
                                   hx, Nx - 2 * hx, Ny - hy, hy)),
             ]
+
+            # layout-aware stitch: with the transposed-G carry (g_t3) the
+            # big G arrays are (Z, Y, X) — the thin strip results transpose
+            # (cheap: strip volumes are halo-width slivers), never the
+            # full arrays
+            def stitch(big, strip, t3):
+                if t3:
+                    return big.at[:, sy, sx].set(_t3(strip).astype(big.dtype))
+                return big.at[sx, sy, :].set(strip.astype(big.dtype))
+
             for (sx, sy), (gu_s, gv_s, gtr_s) in strips:
-                Gu = Gu.at[sx, sy, :].set(gu_s.astype(Gu.dtype))
-                Gv = Gv.at[sx, sy, :].set(gv_s.astype(Gv.dtype))
-                Gtr = {k: Gtr[k].at[sx, sy, :].set(gtr_s[k].astype(Gtr[k].dtype))
-                       for k in Gtr}
+                Gu = stitch(Gu, gu_s, g_t3)
+                Gv = stitch(Gv, gv_s, g_t3)
+                Gtr = {k: stitch(Gtr[k], gtr_s[k], g_t3) for k in Gtr}
             if updated is not None:
                 # the kernel's fused AB2 update is garbage on the strips too:
                 # recompute field + dt*c1*G + dt*c2*G_prev there from the
-                # stitched G (ab2 = (ab[(1,2)], Gu_prev, Gv_prev, Gtr_prev))
+                # strip G (== the stitched values) and the stored previous
+                # tendencies (transposed under g_t3:
+                # ab2 = (ab[(1,2)], Gu_prev, Gv_prev, Gtr_prev))
                 ab, Gu_p, Gv_p, Gtr_p = ab2
                 dtc1, dtc2 = ab[0, 0], ab[0, 1]
-                for (sx, sy), _ in strips:
-                    u_upd = u_upd.at[sx, sy, :].set(
-                        state.u[sx, sy, :] + dtc1 * Gu[sx, sy, :]
-                        + dtc2 * Gu_p[sx, sy, :])
-                    v_upd = v_upd.at[sx, sy, :].set(
-                        state.v[sx, sy, :] + dtc1 * Gv[sx, sy, :]
-                        + dtc2 * Gv_p[sx, sy, :])
+
+                def prev_slice(p, sx, sy):
+                    return _t3(p[:, sy, sx]) if g_t3 else p[sx, sy, :]
+
+                for (sx, sy), (gu_s, gv_s, gtr_s) in strips:
+                    un = (state.u[sx, sy, :] + dtc1 * gu_s.astype(dtype)
+                          + dtc2 * prev_slice(Gu_p, sx, sy))
+                    vn = (state.v[sx, sy, :] + dtc1 * gv_s.astype(dtype)
+                          + dtc2 * prev_slice(Gv_p, sx, sy))
+                    u_upd = stitch(u_upd, un, upd_t3)
+                    v_upd = stitch(v_upd, vn, upd_t3)
                     tr_upd = {
-                        k: tr_upd[k].at[sx, sy, :].set(
-                            state.tracers[k][sx, sy, :] + dtc1 * Gtr[k][sx, sy, :]
-                            + dtc2 * Gtr_p[k][sx, sy, :])
+                        k: stitch(
+                            tr_upd[k],
+                            state.tracers[k][sx, sy, :]
+                            + dtc1 * gtr_s[k].astype(dtype)
+                            + dtc2 * prev_slice(Gtr_p[k], sx, sy),
+                            upd_t3)
                         for k in tr_upd
                     }
                 updated = (u_upd, v_upd, tr_upd)
@@ -1049,7 +1067,14 @@ def _g_t3_ok(cfg, grid, state, comm):
     post-kernel G consumer handles the (Z, Y, X) layout: the v wall mask
     acts on axis 1 (y in both layouts), and the closure/flux/restoring
     increments are applied per-layout (see compute_tendencies). Kill
-    switch: GB25_G_T3=0."""
+    switch: GB25_G_T3=0.
+
+    Distributed (comm is not None): also eligible — the overlap stitch is
+    layout-aware — EXCEPT on north-fold grids, whose distributed fold
+    projection (parallel.fold.north_fold_projection_dist) has no transposed
+    entry yet.  Without the carry a decomposed step pays a full
+    un-transpose + re-transpose pair per stored tendency per step
+    (~8 HBM passes; measured in the round-4 forced-comm itemization)."""
     import os
 
     from gb25_tpu.models.catke import CATKEVerticalDiffusivity
@@ -1058,7 +1083,7 @@ def _g_t3_ok(cfg, grid, state, comm):
 
     return (
         bool(int(os.environ.get("GB25_G_T3", "1")))
-        and comm is None
+        and (comm is None or not getattr(grid, "north_fold", False))
         and cfg.compute_dtype is None
         and (cfg.closure is None
              or isinstance(cfg.closure, (CATKEVerticalDiffusivity,
@@ -1067,7 +1092,8 @@ def _g_t3_ok(cfg, grid, state, comm):
         and isinstance(cfg.free_surface, SplitExplicitFreeSurface)
         and (
             cfg.kernels == "zslab"
-            or (cfg.kernels == "auto" and zslab_supported(cfg, grid, state.u))
+            or (cfg.kernels == "auto"
+                and zslab_supported(cfg, grid, state.u, comm))
         )
     )
 

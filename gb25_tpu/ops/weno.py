@@ -53,14 +53,40 @@ def _weno5_from_shifts(m2, m1, s0, p1, p2, eps):
     t_i ~ (sample jump)^4, so the pairwise products grow like jump^8 and
     overflow f32 (inf -> NaN weights) once |jump| exceeds ~6e4 field units —
     the per-stencil-divide form stayed finite to far larger magnitudes.
-    Oceanic fields (|u| < 1e2, |T| < 1e2) sit ~3 orders below the bound."""
+    Oceanic fields (|u| < 1e2, |T| < 1e2) sit ~3 orders below the bound.
+
+    Factored algebra (default; kill switch GB25_WENO_FACTORED=0): the
+    candidate polynomials and smoothness indicators are rebuilt from the
+    four first differences d1..d4 of the samples — e.g.
+    q0 = s0 + (5 d2 - 2 d1)/6 and beta0 = C13 (d2-d1)^2 + 1/4 (X0+2 d2)^2 —
+    saving ~14 VPU flops per reconstruction point with no extra shifts or
+    selects (a precomputed-shared-field variant was measured SLOWER: the
+    shifted reads cost more than the arithmetic they saved).  Values agree
+    with the textbook form to reassociation roundoff, not bitwise; the
+    array and kernel paths share this code so they stay consistent."""
     sixth = 1.0 / 6.0  # multiply, not divide: EUP has no fast f32 divide
-    q0 = (2.0 * m2 - 7.0 * m1 + 11.0 * s0) * sixth
-    q1 = (-m1 + 5.0 * s0 + 2.0 * p1) * sixth
-    q2 = (2.0 * s0 + 5.0 * p1 - p2) * sixth
-    b0 = _C13 * (m2 - 2.0 * m1 + s0) ** 2 + 0.25 * (m2 - 4.0 * m1 + 3.0 * s0) ** 2
-    b1 = _C13 * (m1 - 2.0 * s0 + p1) ** 2 + 0.25 * (m1 - p1) ** 2
-    b2 = _C13 * (s0 - 2.0 * p1 + p2) ** 2 + 0.25 * (3.0 * s0 - 4.0 * p1 + p2) ** 2
+    if not _use_factored():
+        q0 = (2.0 * m2 - 7.0 * m1 + 11.0 * s0) * sixth
+        q1 = (-m1 + 5.0 * s0 + 2.0 * p1) * sixth
+        q2 = (2.0 * s0 + 5.0 * p1 - p2) * sixth
+        b0 = _C13 * (m2 - 2.0 * m1 + s0) ** 2 + 0.25 * (m2 - 4.0 * m1 + 3.0 * s0) ** 2
+        b1 = _C13 * (m1 - 2.0 * s0 + p1) ** 2 + 0.25 * (m1 - p1) ** 2
+        b2 = _C13 * (s0 - 2.0 * p1 + p2) ** 2 + 0.25 * (3.0 * s0 - 4.0 * p1 + p2) ** 2
+    else:
+        d1 = m1 - m2
+        d2 = s0 - m1
+        d3 = p1 - s0
+        d4 = p2 - p1
+        q0 = s0 + (5.0 * d2 - 2.0 * d1) * sixth
+        q1 = s0 + (d2 + 2.0 * d3) * sixth
+        q2 = s0 + (4.0 * d3 - d4) * sixth
+        x0 = d2 - d1                 # m2 - 2 m1 + s0
+        x1 = d3 - d2                 # m1 - 2 s0 + p1
+        x2 = d4 - d3                 # s0 - 2 p1 + p2
+        y1 = d2 + d3                 # p1 - m1 (squared, sign-free)
+        b0 = _C13 * x0 * x0 + 0.25 * (x0 + 2.0 * d2) ** 2
+        b1 = _C13 * x1 * x1 + 0.25 * y1 * y1
+        b2 = _C13 * x2 * x2 + 0.25 * (x2 - 2.0 * d3) ** 2
     t0 = (b0 + eps) ** 2
     t1 = (b1 + eps) ** 2
     t2 = (b2 + eps) ** 2
@@ -68,6 +94,12 @@ def _weno5_from_shifts(m2, m1, s0, p1, p2, eps):
     w1 = _G1 * (t0 * t2)
     w2 = _G2 * (t0 * t1)
     return (w0 * q0 + w1 * q1 + w2 * q2) / (w0 + w1 + w2)
+
+
+def _use_factored() -> bool:
+    import os
+
+    return bool(int(os.environ.get("GB25_WENO_FACTORED", "1")))
 
 
 def weno5(a, axis: str, align: str = "face", eps: float = 1e-6):
@@ -103,6 +135,11 @@ def weno5_upwind(a, vel, axis: str, align: str = "face", eps: float = 1e-6):
     direction first and ONE reconstruction runs — bitwise identical to
     reconstructing both sides and selecting, at ~55 instead of ~110 flops
     per face.  This nearly halves the WENO cost of the fused TPU kernel.
+    (A shared-smoothness variant precomputing three per-cell beta fields
+    and wind-selecting their shifts was measured SLOWER on v5e — serial
+    flagship 37.2 -> 40.2 ms/step — because the six extra shifted reads
+    cost more than the ~20 saved flops; see _weno5_from_shifts for the
+    factored per-point algebra that did stick.)
     """
     lo = 1 if align == "face" else 0
 

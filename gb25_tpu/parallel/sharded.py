@@ -147,6 +147,17 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
     from gb25_tpu.models.state import initial_state
 
     proto = initial_state(grid, tracers=cfg.tracers, dtype=grid.dtype)
+    # transposed-G carry across the inner loop (serial fast-loop parity for
+    # the decomposed path): eligibility is judged on the LOCAL tile shape,
+    # since that is the grid each shard's kernel sees
+    use_g_t3 = False
+    if n_inner is not None and comm is not None:
+        import dataclasses as _dc
+
+        from gb25_tpu.models.hydrostatic import _g_t3_ok
+
+        lgrid_probe = _dc.replace(grid, Nx=nxl, Ny=nyl)
+        use_g_t3 = _g_t3_ok(cfg, lgrid_probe, proto, comm)
     sspec = _state_specs(proto)
     gspec = _grid_specs(grid)
     # restoring targets are full 3-D fields consumed interior-only (no
@@ -178,9 +189,9 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
         else:
             lgrid = localize_grid(gridrep, comm, nxl, nyl)
 
-        def one(s, premasked=False):
+        def one(s, premasked=False, g_t3=False):
             return time_step(cfg, lgrid, s, dt, comm, restoring=lrest,
-                             premasked=premasked)
+                             premasked=premasked, g_t3=g_t3)
 
         if n_inner is None:
             return one(state)
@@ -188,9 +199,15 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
         # models.hydrostatic.premask_state): the step epilogue re-masks, so
         # masking is a loop invariant and the per-iteration multiply is
         # redundant HBM traffic
-        from gb25_tpu.models.hydrostatic import premask_state
+        from gb25_tpu.models.hydrostatic import g_t3_loop, premask_state
 
         state = premask_state(lgrid, state, comm)
+        if use_g_t3:
+            # stored tendencies ride the loop in the kernel's (Z, Y, X)
+            # layout — on the decomposed path this kills a per-step
+            # un-transpose + re-transpose pair per stored tendency
+            return g_t3_loop(
+                lambda s: one(s, premasked=True, g_t3=True), state, n_inner)
         return jax.lax.fori_loop(
             0, n_inner, lambda _, s: one(s, premasked=True), state)
 

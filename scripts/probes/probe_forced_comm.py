@@ -33,7 +33,11 @@ def main():
     p.add_argument("--no-serial", action="store_true")
     p.add_argument("--overlap", default="1", choices=["0", "1"],
                    help="overlap_split on the forced-comm path (ablation)")
-    p.add_argument("--mode", default="both", choices=["ring", "local", "both"],
+    p.add_argument("--exchange-width", type=int, default=None,
+                   help="SplitExplicitFreeSurface.exchange_width (e.g. 30 = "
+                        "whole barotropic solve on one exchange block)")
+    p.add_argument("--mode", default="both",
+                   choices=["ring", "local", "both", "serial-shardmap"],
                    help="ring = identity ppermutes (includes the axon "
                         "loopback-relay collective latency); local = "
                         "decomposed program with local fills (the honest "
@@ -62,6 +66,12 @@ def main():
                                           dtype=jnp.float32)
     cfg = baroclinic_instability_config()
     cfg = dataclasses.replace(cfg, overlap_split=args.overlap == "1")
+    if args.exchange_width:
+        from gb25_tpu.models.config import SplitExplicitFreeSurface
+
+        cfg = dataclasses.replace(
+            cfg, free_surface=SplitExplicitFreeSurface(
+                exchange_width=args.exchange_width))
     state = baroclinic_instability_state(grid)
     dt = jnp.float32(args.dt)
 
@@ -84,8 +94,12 @@ def main():
     mesh = make_mesh(1, shape=(1, 1))
     modes = ["local", "ring"] if args.mode == "both" else [args.mode]
     for mode in modes:
+        # serial-shardmap: the 1x1 serial-routed path (comm=None) under
+        # shard_map — isolates the shard_map wrapper cost from the
+        # decomposed-program cost
         fn = sharded_step_fn(cfg, grid, mesh, n_inner=args.steps,
-                             force_comm=mode)
+                             force_comm=(False if mode == "serial-shardmap"
+                                         else mode))
         s = shard_state(state, mesh)
         s = fn(s, dt)
         sync(s)

@@ -21,15 +21,16 @@ enable_persistent_cache()
 
 cfg, grid, state = baroclinic_instability_model(Nx=1536, Ny=768, Nz=64,
                                                 dtype=jnp.float32)
-if len(sys.argv) > 1 and sys.argv[1] == "no-overlap":
+if "no-overlap" in sys.argv[1:]:
     import dataclasses
 
     cfg = dataclasses.replace(cfg, overlap_split=False)
+mode = "local" if "local" in sys.argv[1:] else "ring"
 dt = jnp.float32(60.0)
 N = 16
 
 mesh = make_mesh(1, shape=(1, 1))
-fn = sharded_step_fn(cfg, grid, mesh, n_inner=N, force_comm=True)
+fn = sharded_step_fn(cfg, grid, mesh, n_inner=N, force_comm=mode)
 s = shard_state(state, mesh)
 
 t0 = time.perf_counter()
@@ -48,6 +49,8 @@ np.asarray(jax.device_get(s.iteration))
 el = time.perf_counter() - t0
 print(f"{4 * N} steps: {1e3 * el / (4 * N):.2f} ms/step", flush=True)
 
+import shutil
+shutil.rmtree("/tmp/forced_comm_profile", ignore_errors=True)
 with jax.profiler.trace("/tmp/forced_comm_profile"):
     s = fn(s, dt)
     np.asarray(jax.device_get(s.iteration))

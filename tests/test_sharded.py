@@ -84,8 +84,8 @@ def test_sharded_step_fn_warns_on_misaligned_tiles(monkeypatch):
     assert any("128" in str(w.message) for w in rec)
 
 
-def _setup(dtype=jnp.float64):
-    grid = simple_latitude_longitude_grid(32, 16, 4, dtype=dtype)
+def _setup(dtype=jnp.float64, nx=32, ny=16):
+    grid = simple_latitude_longitude_grid(nx, ny, 4, dtype=dtype)
     cfg = baroclinic_instability_config()
     state = baroclinic_instability_state(grid, noise_velocity=1e-3)
     return cfg, grid, state
@@ -273,3 +273,46 @@ def test_force_comm_emits_collective_permute():
     assert "collective-permute" in hlo
     for bad in ("all-gather", "all-reduce", "all-to-all"):
         assert bad not in hlo, f"forbidden collective {bad} in compiled HLO"
+
+
+def test_barotropic_exchange_width():
+    """SplitExplicitFreeSurface.exchange_width = substeps runs the whole
+    barotropic solve on one wide exchange (one block).  Same-physics check
+    vs the default width (differences are in-block reassociation + wall
+    ghost drift, re-zeroed each exchange), and serial-vs-sharded agreement
+    at the SAME width (the config knob keeps W consistent on both sides)."""
+    import dataclasses
+
+    from gb25_tpu.models.config import SplitExplicitFreeSurface
+
+    cfg, grid, state = _setup(nx=256, ny=128)
+    cfg_w = dataclasses.replace(
+        cfg, free_surface=SplitExplicitFreeSurface(exchange_width=30))
+
+    step = jax.jit(time_step, static_argnames=())
+    s_def, s_w = state, state
+    for _ in range(3):
+        s_def = step(cfg, grid, s_def, 60.0)
+        s_w = step(cfg_w, grid, s_w, 60.0)
+    # same physics, different substep blocking.  The ONLY difference is the
+    # in-block wall-ghost drift (free_surface.py per_block notes): with one
+    # 30-substep block the wall ghost rows evolve 30 substeps between
+    # re-impositions instead of 4, so the drift is larger at the wall rows
+    # (measured 7e-8 on u, 2e-6 on eta) and decays exponentially into the
+    # interior (identically 0 past ~6 rows).  Assert exactly that structure.
+    for a, b in zip(jax.tree_util.tree_leaves(s_def),
+                    jax.tree_util.tree_leaves(s_w)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1.0, atol=1e-5)  # wall band
+        if a.ndim >= 2:  # interior far from the y walls: bitwise-level
+            np.testing.assert_allclose(
+                a[:, 30:-30], b[:, 30:-30], rtol=1e-12, atol=1e-15)
+
+    # sharded at the same width == serial at the same width (tiles 128x64
+    # comfortably exceed W+1=31, so W stays 30 on every rank)
+    mesh = make_mesh(4, shape=(2, 2))
+    sfn = sharded_step_fn(cfg_w, grid, mesh)
+    s_sh = shard_state(state, mesh)
+    for _ in range(3):
+        s_sh = sfn(s_sh, 60.0)
+    _compare_states(s_w, s_sh, rtol=1e-9, atol=1e-13)

@@ -787,3 +787,35 @@ def test_zslab_integrals_with_surface_fluxes_end_to_end(monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(s_a), jax.tree_util.tree_leaves(s_k)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=5e-6)
+
+
+def test_force_comm_loop_g_t3_matches_serial_loop(monkeypatch):
+    """Decomposed-path transposed-G carry (round 4): a forced-comm 1x1 inner
+    loop (g_t3 active under comm, layout-aware overlap stitch) must agree
+    with the serial loop on the same problem."""
+    import jax
+
+    import dataclasses
+
+    from gb25_tpu.models import loop
+    from gb25_tpu.parallel import make_mesh, shard_state
+    from gb25_tpu.parallel.sharded import sharded_step_fn
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
+    cfg = dataclasses.replace(baroclinic_instability_config(), kernels="zslab")
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+
+    s_ref = jax.jit(loop, static_argnames="n")(cfg, grid, state, 60.0, 3)
+
+    mesh = make_mesh(1, shape=(1, 1))
+    sfn = sharded_step_fn(cfg, grid, mesh, n_inner=3, force_comm=True,
+                          check_vma=False)
+    s_sh = sfn(shard_state(state, mesh), jnp.float32(60.0))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_sh)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-7
+        )
