@@ -113,9 +113,16 @@ class HydrostaticConfig:
     # sharding/sharded_baroclinic_instability_simulation_run.jl:109-112):
     # when True and running distributed, core tendencies are computed from a
     # local-only extension so they carry no data dependence on the halo
-    # ppermutes, letting XLA's latency-hiding scheduler overlap them.
-    # False = monolithic tendencies (the ablation setting).
-    overlap_split: bool = True
+    # ppermutes, letting XLA's latency-hiding scheduler overlap them; the
+    # four boundary strips are recomputed from the exchange and stitched.
+    # Default False since round 4: on v5e hardware the strip recompute costs
+    # ~30 ms/step at the flagship size (thin sliver windows occupy ~3% of
+    # the 8x128 VPU tile) while the halo exchange it hides is sub-ms on ICI
+    # — measured via the forced-comm harness: overlap 105.3 ms/step,
+    # monolithic 38.7, serial 35.8 (scripts/probes/probe_decomposed_stages
+    # itemization: strips alone 30 ms).  True remains available for wide
+    # tiles / slow-interconnect regimes where exchange latency dominates.
+    overlap_split: bool = False
 
     @property
     def g(self):

@@ -144,7 +144,8 @@ def test_zslab_kernel_core_independent_of_exchange(monkeypatch, fused):
 
     monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
     grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
-    cfg = dataclasses.replace(baroclinic_instability_config(), kernels="zslab")
+    cfg = dataclasses.replace(baroclinic_instability_config(), kernels="zslab",
+                              overlap_split=True)
     state = baroclinic_instability_state(grid, noise_velocity=1e-3)
     hx, hy = grid.hx, grid.hy
 

@@ -803,7 +803,10 @@ def test_force_comm_loop_g_t3_matches_serial_loop(monkeypatch):
 
     monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
     grid = simple_latitude_longitude_grid(128, 32, 8, dtype=jnp.float32)
-    cfg = dataclasses.replace(baroclinic_instability_config(), kernels="zslab")
+    # overlap_split=True: the forced-comm loop must exercise the layout-aware
+    # overlap stitch (g_t3) even though production defaults to monolithic
+    cfg = dataclasses.replace(baroclinic_instability_config(), kernels="zslab",
+                              overlap_split=True)
     state = baroclinic_instability_state(grid, noise_velocity=1e-3)
 
     s_ref = jax.jit(loop, static_argnames="n")(cfg, grid, state, 60.0, 3)
