@@ -98,6 +98,12 @@ class HydrostaticConfig:
     closure: object = None  # VerticalScalarDiffusivity | CATKE | None
     chi: float = 0.1  # quasi-AB2 parameter (Euler first step)
     weno_eps: float = 1e-6
+    # Kinetic-energy discretization for the vector-invariant Bernoulli term:
+    # "hollingsworth" (default) = the NEMO-style corrected KE, robust
+    # against the Hollingsworth instability at eddy-resolving resolution
+    # (the reference's WENOVectorInvariant carries its own equivalent
+    # cure); "standard" = plain C-grid form (ops/operators.py).
+    ke_scheme: str = "hollingsworth"
     # tendency backend: "auto" uses the fused Pallas mega-kernel on TPU when
     # the configuration supports it, else XLA array ops; "jnp" forces the
     # array-op path; "pallas" forces the kernel (errors if unsupported)

