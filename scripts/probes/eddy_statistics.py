@@ -91,7 +91,8 @@ def fit_growth(times, eke):
     return float(coef[0]) / 2.0, r2, (i0, i1)  # EKE ~ exp(2 sigma t)
 
 
-def run(nx, ny, nz, dt, steps, chunk, dtype="float32", seed=42):
+def run(nx, ny, nz, dt, steps, chunk, dtype="float32", seed=42,
+        closure="none"):
     import jax
     import jax.numpy as jnp
 
@@ -104,8 +105,25 @@ def run(nx, ny, nz, dt, steps, chunk, dtype="float32", seed=42):
     from gb25_tpu.utils.diagnostics import eddy_mean_kinetic_energy
 
     grid = simple_latitude_longitude_grid(nx, ny, nz, dtype=jnp.dtype(dtype))
-    cfg = baroclinic_instability_config()
-    state = baroclinic_instability_state(grid, seed=seed)
+    # closure choice mirrors the reference's constructor options
+    # (/root/reference/src/baroclinic_instability_model.jl:29-31): "none"
+    # matches its default; long eddy-resolving integrations need a vertical
+    # closure once eddies sharpen fronts to the grid scale (measured round
+    # 4: at 1/4 degree the closure-free run NaNs at saturation, day ~8,
+    # after 7 days of clean exponential growth), so the validation runs
+    # "catke" — the closure the climate configuration uses anyway.
+    kwargs = {}
+    if closure == "catke":
+        from gb25_tpu.models.catke import CATKEVerticalDiffusivity
+
+        kwargs["closure"] = CATKEVerticalDiffusivity()
+    elif closure == "scalar":
+        from gb25_tpu.models.config import VerticalScalarDiffusivity
+
+        kwargs["closure"] = VerticalScalarDiffusivity()
+    cfg = baroclinic_instability_config(**kwargs)
+    state = baroclinic_instability_state(grid, seed=seed,
+                                         tracers=cfg.tracers)
     sigma_eady, M2, N2 = eady_growth_rate(grid, state, cfg.eos)
 
     lp = jax.jit(loop, static_argnames="n")
@@ -141,6 +159,8 @@ def main():
     p.add_argument("--nz", type=int, default=8)
     p.add_argument("--dt", type=float, default=600.0)
     p.add_argument("--steps", type=int, default=1440)
+    p.add_argument("--closure", default="none",
+                   choices=["none", "scalar", "catke"])
     p.add_argument("--chunk", type=int, default=60)
     p.add_argument("--dtype", default="float32")
     args = p.parse_args()
@@ -149,7 +169,7 @@ def main():
 
     preamble()
     out = run(args.nx, args.ny, args.nz, args.dt, args.steps, args.chunk,
-              args.dtype)
+              args.dtype, closure=args.closure)
     print(json.dumps(out))
 
 
