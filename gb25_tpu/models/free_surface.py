@@ -226,12 +226,9 @@ def barotropic_substep(cfg, grid, state, u_star, v_star, Gu_ab, Gv_ab, dt,
     if W <= min(grid.hx, grid.hy):
         dxc, dxf, dyc, dyf, azc = _metrics2(grid, h=W)
     else:
-        if getattr(grid, "north_fold", False):
-            raise NotImplementedError(
-                "exchange_width beyond the grid halo is not wired for "
-                "tripolar (north-fold) grids yet: metric fold ghosts need "
-                "the fold map; use exchange_width <= halo there"
-            )
+        # fold grids included: metrics are orientation-free per-cell
+        # scalars, so their fold ghosts are plain fold images — exactly
+        # what the "c"-kind fold exchange produces
         dxc, dxf, dyc, dyf, azc = _metrics2_exchange(grid, comm, W)
 
     def interior(a):

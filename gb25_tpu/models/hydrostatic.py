@@ -893,7 +893,8 @@ def time_step(cfg: HydrostaticConfig, grid, state: HydrostaticState, dt, comm=No
             from gb25_tpu.parallel.fold import north_fold_projection_dist
 
             u_new, v_new, eta, tracers = north_fold_projection_dist(
-                comm, grid, u_new, v_new, eta, tracers
+                comm, grid, u_new, v_new, eta, tracers,
+                uv_t3=upd_t3, tracers_t3=upd_t3,
             )
         else:
             from gb25_tpu.grids.tripolar import north_fold_projection
@@ -1069,12 +1070,12 @@ def _g_t3_ok(cfg, grid, state, comm):
     increments are applied per-layout (see compute_tendencies). Kill
     switch: GB25_G_T3=0.
 
-    Distributed (comm is not None): also eligible — the overlap stitch is
-    layout-aware — EXCEPT on north-fold grids, whose distributed fold
-    projection (parallel.fold.north_fold_projection_dist) has no transposed
-    entry yet.  Without the carry a decomposed step pays a full
-    un-transpose + re-transpose pair per stored tendency per step
-    (~8 HBM passes; measured in the round-4 forced-comm itemization)."""
+    Distributed (comm is not None): also eligible — the overlap stitch and
+    the distributed north-fold projection are both layout-aware (the
+    projection touches one seam row, transposed as a thin plane).  Without
+    the carry a decomposed step pays a full un-transpose + re-transpose
+    pair per stored tendency per step (~8 HBM passes; measured in the
+    round-4 forced-comm itemization)."""
     import os
 
     from gb25_tpu.models.catke import CATKEVerticalDiffusivity
@@ -1083,7 +1084,6 @@ def _g_t3_ok(cfg, grid, state, comm):
 
     return (
         bool(int(os.environ.get("GB25_G_T3", "1")))
-        and (comm is None or not getattr(grid, "north_fold", False))
         and cfg.compute_dtype is None
         and (cfg.closure is None
              or isinstance(cfg.closure, (CATKEVerticalDiffusivity,

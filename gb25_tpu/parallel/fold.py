@@ -97,23 +97,39 @@ def fold_ghosts_north_dist(comm, a, h, kind):
     return sign * jnp.stack(rows, axis=1)
 
 
-def north_fold_projection_dist(comm, grid, u, v, eta, tracers):
-    """Distributed T-pivot seam projection (top rank row only)."""
+def north_fold_projection_dist(comm, grid, u, v, eta, tracers,
+                               uv_t3=False, tracers_t3=False):
+    """Distributed T-pivot seam projection (top rank row only).
+
+    ``uv_t3``/``tracers_t3``: the corresponding fields arrive AND leave in
+    the kernel's transposed (Z, Y, X) layout (the transposed-G carry /
+    updated-field handoff).  The projection touches exactly ONE y-row, so
+    the transposed path extracts the thin seam plane, un-transposes it
+    (cheap: (Z, X) sliver), runs the identical strip exchange, and writes
+    the row back in place — the big arrays never transpose."""
     iy = lax.axis_index(comm.y_axis)
     is_top = iy == comm.Ry - 1
     P = grid.Ny - 1
 
-    def project(field, kind):
+    def project(field, kind, t3=False):
         face = "u" if kind == "u" else "c"
-        mirror = fold_exchange_strips(comm, field, 0, faces=(face,))[face][:, 0, ...]
         s = -1.0 if kind == "u" else 1.0
+        if t3:
+            # field (Z, Y, X): seam row plane (Z, X) -> (X, 1, Z) for the
+            # x-axis strip exchange, result transposed back onto the row
+            old = field[:, P, :]
+            row3 = jnp.transpose(old, (1, 0))[:, None, :]
+            mirror = fold_exchange_strips(comm, row3, 0, faces=(face,))[face][:, 0, :]
+            newrow = 0.5 * (old + s * jnp.transpose(mirror, (1, 0)))
+            return field.at[:, P, :].set(jnp.where(is_top, newrow, old))
+        mirror = fold_exchange_strips(comm, field, 0, faces=(face,))[face][:, 0, ...]
         old = field[:, P, ...]
         newrow = 0.5 * (old + s * mirror)
         # select on the thin ROW, not the full array: a full-array where
         # costs two reads + a write per field on every step
         return field.at[:, P, ...].set(jnp.where(is_top, newrow, old))
 
-    u = project(u, "u")
+    u = project(u, "u", uv_t3)
     eta = project(eta, "c")
-    tracers = {k: project(c, "c") for k, c in tracers.items()}
+    tracers = {k: project(c, "c", tracers_t3) for k, c in tracers.items()}
     return u, v, eta, tracers

@@ -316,3 +316,33 @@ def test_barotropic_exchange_width():
     for _ in range(3):
         s_sh = sfn(s_sh, 60.0)
     _compare_states(s_w, s_sh, rtol=1e-9, atol=1e-13)
+
+
+def test_barotropic_exchange_width_tripolar():
+    """Wide barotropic exchange on north-fold grids: metric/field fold
+    ghosts come from the "c"/"u"/"v"-kind fold exchanges, so serial and
+    sharded runs at the same width agree like any other decomposition."""
+    import dataclasses
+
+    from gb25_tpu.grids import tripolar_grid
+    from gb25_tpu.models.config import SplitExplicitFreeSurface
+
+    grid = tripolar_grid(64, 64, 4, dtype=jnp.float64)
+    cfg = dataclasses.replace(
+        baroclinic_instability_config(),
+        free_surface=SplitExplicitFreeSurface(exchange_width=30))
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3)
+
+    step = jax.jit(time_step, static_argnames=())
+    s_ref = state
+    for _ in range(3):
+        s_ref = step(cfg, grid, s_ref, 60.0)
+    assert all(bool(jnp.isfinite(x).all())
+               for x in jax.tree_util.tree_leaves(s_ref))
+
+    mesh = make_mesh(4, shape=(2, 2))
+    sfn = sharded_step_fn(cfg, grid, mesh)
+    s_sh = shard_state(state, mesh)
+    for _ in range(3):
+        s_sh = sfn(s_sh, 60.0)
+    _compare_states(s_ref, s_sh, rtol=1e-9, atol=1e-12)

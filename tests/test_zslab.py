@@ -822,3 +822,41 @@ def test_force_comm_loop_g_t3_matches_serial_loop(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-7
         )
+
+
+def test_force_comm_tripolar_catke_g_t3_matches_serial(monkeypatch):
+    """Climate-path transposed-G carry under comm (round 4): tripolar fold
+    grid + CATKE + fused kernel, forced-comm 1x1 inner loop with g_t3/upd_t3
+    active (incl. the transposed distributed fold projection) must agree
+    with the serial loop."""
+    import jax
+
+    import dataclasses
+
+    from gb25_tpu.grids import tripolar_grid
+    from gb25_tpu.models import loop
+    from gb25_tpu.models.catke import CATKEVerticalDiffusivity
+    from gb25_tpu.parallel import make_mesh, shard_state
+    from gb25_tpu.parallel.sharded import sharded_step_fn
+
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    grid = tripolar_grid(128, 32, 8, dtype=jnp.float32)
+    cfg = dataclasses.replace(
+        baroclinic_instability_config(closure=CATKEVerticalDiffusivity()),
+        kernels="zslab")
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3,
+                                         tracers=cfg.tracers)
+
+    s_ref = jax.jit(loop, static_argnames="n")(cfg, grid, state, 60.0, 2)
+
+    mesh = make_mesh(1, shape=(1, 1))
+    sfn = sharded_step_fn(cfg, grid, mesh, n_inner=2, force_comm=True,
+                          check_vma=False)
+    s_sh = sfn(shard_state(state, mesh), jnp.float32(60.0))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_sh)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-7
+        )
