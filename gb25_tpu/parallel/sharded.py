@@ -240,6 +240,13 @@ def sharded_coupled_step_fn(ccfg, grid, atmos, mesh, n_inner: int | None = None,
     sspec = _state_specs(proto)
     gspec = _grid_specs(grid)
     aspec = jax.tree_util.tree_map(lambda _: P(), atmos)
+    # place the atmosphere (the biggest replicated operand: pre-regridded
+    # forcing can be ~1 GB) onto the mesh ONCE at build time — otherwise
+    # every fn() call re-commits it to the required sharding, a per-call
+    # host/dispatch cost measured at ~hundreds of ms on the tunneled chip
+    # (round-4 climate forced-comm profiling: device while-loop 19.4
+    # ms/step vs 29+ wall until this fix)
+    atmos = replicate(atmos, mesh)
 
     @partial(
         jax.shard_map,
