@@ -320,7 +320,22 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             and cfg.kernels in ("auto", "zslab")
             and catke_kernel_supported(cfg, grid, comm)
         )
-        if use_ck and comm is None and zslab_supported(cfg, grid, ue, comm):
+        # fused transposed extends are valid whenever the kernel consumes
+        # the FULL extension semantics: serial, or a decomposed step
+        # without the overlap split (the extension is then the exchanged
+        # one, built in the same fused ring-strip form).  The overlap path
+        # needs the exchanged extension separately for its strips, so it
+        # keeps the two-stage form.
+        overlap_pred = (
+            cfg.overlap_split
+            and comm is not None
+            and grid.Nx > 2 * grid.hx
+            and grid.Ny > 2 * grid.hy
+        )
+        fused_ext_ok = comm is None or (
+            not overlap_pred and not getattr(grid, "north_fold", False)
+        )
+        if use_ck and fused_ext_ok and zslab_supported(cfg, grid, ue, comm):
             # climate fast path: build the transposed extended operands ONCE
             # (fused extends) and share them between the CATKE diffusivity
             # kernel here and the z-slab tendency kernel below — each
@@ -329,7 +344,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             # transposed anyway (skips an un/re-transpose pair per array).
             t3ops = build_t3_operands(
                 cfg, grid, state.u, state.v, state.tracers,
-                u_mask_e, v_mask_e,
+                u_mask_e, v_mask_e, comm=comm,
             )
             ue_t, ve_t, tr_t, be_t, _ = t3ops
             ku_i, kc_i, ke_i, Ge_t, lam_i = catke_diffusivities_kernel(
@@ -505,8 +520,13 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         # them transposed — bitwise-equal, tested)
         raw_ok = (
             cfg.compute_dtype in (None, "bf16s")  # bf16s rounds at storage
-            and (comm is None or overlap_kernel)
+            and (comm is None or overlap_kernel
+                 or not getattr(grid, "north_fold", False))
         )
+        # extension semantics for the fused raw build: local-only under the
+        # overlap split (the kernel must not depend on any ppermute), else
+        # the real (exchanged) extension
+        raw_comm = None if (comm is None or overlap_kernel) else comm
         raw = None
         if t3ops is not None:
             # operands already built for the CATKE diffusivity kernel
@@ -515,7 +535,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             if grid.immersed:
                 from gb25_tpu.grids.immersed import immersed_masks as _imasks
 
-                _, um_l, vm_l = _imasks(grid, None)
+                _, um_l, vm_l = _imasks(grid, raw_comm)
             else:
                 um_l = vm_l = None
             raw = (state.u, state.v, state.tracers, um_l, vm_l)
@@ -547,6 +567,7 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             cfg, grid_c, f_c, ue_k, ve_k, tr_k, x_wrap=(comm is None), ab2=ab2,
             raw_fields=raw, storage_dtype=storage, t3_operands=t3ops,
             g_t3=g_t3, upd_t3=upd_t3, wall_v=wall_v_kernel, integrals=use_ints,
+            raw_comm=raw_comm,
         )
         if ab2 is not None and use_ints:
             Gu, Gv, Gtr, u_upd, v_upd, tr_upd, ints = res

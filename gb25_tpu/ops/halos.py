@@ -165,12 +165,20 @@ def refresh_halos_ext(grid, e, kind: str):
     return e
 
 
-def extend_field_t3(grid, a, kind: str):
+def extend_field_t3(grid, a, kind: str, comm=None):
     """Single-device extension directly in the kernel's transposed (Z, Y, X)
     layout: ONE materialization (XLA fuses the transpose into the pad
     producer) instead of ``_t3(extend_field(...))``'s two (extend pass +
     transpose pass) — the z-slab kernel's inputs are the hot path's largest
     HBM traffic besides the kernel itself.
+
+    ``comm`` (round 4): the DISTRIBUTED extension in the same fused form —
+    ring exchange of thin edge strips (MeshComm.exchange_strips), thin
+    transposed ghost writes, one big pad materialization.  Matches
+    ``_t3(extend_field(grid, a, kind, comm))`` (the x-then-y fill order:
+    the y strips/BCs are built from x-extended edge BANDS, so corners
+    agree).  Non-fold grids only; fold grids fall back to the two-pass
+    form.
 
     Bitwise-equal to ``transpose(extend_field(grid, a, kind, None))``: every
     BC mode in FIELD_BCS acts within its own axis (wrap copies whole
@@ -186,6 +194,39 @@ def extend_field_t3(grid, a, kind: str):
     """
     (xlo, xhi), (ylo, yhi), (zlo, zhi) = FIELD_BCS[kind]
     hx, hy, hz = grid.halo
+    if comm is not None:
+        if getattr(grid, "north_fold", False):
+            return jnp.transpose(extend_field(grid, a, kind, comm), (2, 1, 0))
+        Nx, Ny, Nz = a.shape
+        t3 = lambda x: jnp.transpose(x, (2, 1, 0))
+        # x ring (periodic): my own opposite strips double as the R==1 wrap
+        send_dn_x, send_up_x = a[:hx], a[-hx:]
+        lo_x, hi_x = comm.exchange_strips(
+            send_dn_x, send_up_x, comm.x_axis, comm.Rx, True,
+            bc_lo=send_up_x, bc_hi=send_dn_x)
+        # y exchange operates on the x-EXTENDED field; its edge BANDS
+        # (width hy+1: antimirror_face BCs read row 1..hy) are assembled
+        # from the x strips without materializing the full extension
+        hb = hy + 1
+        lo_band = jnp.concatenate(
+            [lo_x[:, :hb], a[:, :hb], hi_x[:, :hb]], axis=0)
+        hi_band = jnp.concatenate(
+            [lo_x[:, Ny - hb:], a[:, Ny - hb:], hi_x[:, Ny - hb:]], axis=0)
+        bc_lo_y, _ = ghost_blocks(lo_band, hy, 1, ylo, ylo)
+        _, bc_hi_y = ghost_blocks(hi_band, hy, 1, yhi, yhi)
+        lo_y, hi_y = comm.exchange_strips(
+            lo_band[:, :hy], hi_band[:, hb - hy:], comm.y_axis, comm.Ry,
+            comm.y_periodic, bc_lo_y, bc_hi_y)
+        e = jnp.pad(t3(a), ((hz, hz), (hy, hy), (hx, hx)))
+        e = e.at[hz : hz + Nz, hy : hy + Ny, :hx].set(t3(lo_x))
+        e = e.at[hz : hz + Nz, hy : hy + Ny, hx + Nx :].set(t3(hi_x))
+        e = e.at[hz : hz + Nz, :hy, :].set(t3(lo_y))
+        e = e.at[hz : hz + Nz, hy + Ny :, :].set(t3(hi_y))
+        if hz:
+            lo_z, hi_z = ghost_blocks(e[hz : hz + Nz], hz, 0, zlo, zhi)
+            e = e.at[:hz].set(lo_z)
+            e = e.at[hz + Nz :].set(hi_z)
+        return e
     at = jnp.transpose(a, (2, 1, 0))
     if getattr(grid, "north_fold", False):
         from gb25_tpu.grids.tripolar import fold_ghosts_north

@@ -151,14 +151,17 @@ def _generation_tile_caps():
 
 
 def build_t3_operands(cfg, grid, u, v, tracers, um_e=None, vm_e=None,
-                      storage_dtype=None, ue_t=None, ve_t=None):
+                      storage_dtype=None, ue_t=None, ve_t=None, comm=None):
     """Interior prognostics -> transposed extended kernel operands
     ``(ue_t, ve_t, tr_t, be_t, b_total_t)`` via ``extend_field_t3`` (ONE HBM
     materialization per field).  Shared by the z-slab tendency kernel's
     ``raw_fields`` mode and the CATKE diffusivity kernel
     (ops/pallas_catke.py) so the climate fast path extends each prognostic
-    exactly once per step.  LOCAL-extension semantics (single device, or the
-    overlap path's local-only extension).
+    exactly once per step.  ``comm=None``: LOCAL-extension semantics
+    (single device, or the overlap path's local-only extension);
+    ``comm`` set: the DISTRIBUTED extension in the same fused transposed
+    form (extend_field_t3's ring-strip assembly) — the no-overlap
+    decomposed path's kernel operands.
 
     ``ue_t``/``ve_t``: already-extended transposed velocity buffers — skip
     their extends (and the ``u``/``v`` arguments, which may then be None).
@@ -183,13 +186,13 @@ def build_t3_operands(cfg, grid, u, v, tracers, um_e=None, vm_e=None,
     )
     sbf16 = storage_dtype == jnp.bfloat16
     if ue_t is None:
-        ue_t = extend_field_t3(grid, u, "u")
+        ue_t = extend_field_t3(grid, u, "u", comm)
     if ve_t is None:
-        ve_t = extend_field_t3(grid, v, "v")
+        ve_t = extend_field_t3(grid, v, "v", comm)
     if um_e is not None:
         ue_t = ue_t * _t3(um_e)
         ve_t = ve_t * _t3(vm_e)
-    tr_t = {k: extend_field_t3(grid, c, "c") for k, c in tracers.items()}
+    tr_t = {k: extend_field_t3(grid, c, "c", comm) for k, c in tracers.items()}
     if sbf16:  # bf16 storage of the streamed fields (f32 compute in-kernel)
         ue_t, ve_t = ue_t.astype(storage_dtype), ve_t.astype(storage_dtype)
         tr_t = {k: v_.astype(storage_dtype) for k, v_ in tr_t.items()}
@@ -272,7 +275,8 @@ def zslab_supported(cfg, grid, ue, comm=None) -> bool:
 def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
                      interpret=False, x_wrap=True, ab2=None, raw_fields=None,
                      storage_dtype=None, t3_operands=None, g_t3=False,
-                     upd_t3=False, wall_v=False, integrals=False):
+                     upd_t3=False, wall_v=False, integrals=False,
+                     raw_comm=None):
     """Fused tendency stage with transposed z-slab streaming.
 
     Requires hz >= 3 and Nz % bz == 0. Returns interior (Gu, Gv, {Gc}).
@@ -288,8 +292,10 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     materialization per field instead of extend + transpose — and compute
     buoyancy/b_total transposed. The ``ue/ve/tr_e`` arguments are then used
     for nothing (XLA dead-code-eliminates them when no other stage consumes
-    them). Only valid for the local-extension semantics (single device, or
-    the overlap path's local-only extension) on non-folded grids.
+    them). Local-extension semantics by default (single device, or the
+    overlap path's local-only extension); ``raw_comm`` switches the
+    extension to the distributed ring-strip form (the no-overlap
+    decomposed path).  Non-folded grids only.
 
     ``storage_dtype=jnp.bfloat16`` (cfg.compute_dtype == "bf16s"): the
     prognostic field + buoyancy operands are STORED/streamed as bf16 — the
@@ -510,7 +516,8 @@ def zslab_tendencies(cfg, grid, f_ff, ue, ve, tr_e, bx=None, by=None, bz=None,
     elif raw_fields is not None:
         u_raw, v_raw, trs_raw, um_e, vm_e = raw_fields
         ue_t, ve_t, tr_t, be_t, b_total_t = build_t3_operands(
-            cfg, grid, u_raw, v_raw, trs_raw, um_e, vm_e, storage_dtype
+            cfg, grid, u_raw, v_raw, trs_raw, um_e, vm_e, storage_dtype,
+            comm=raw_comm,
         )
     else:
         if sbf16:

@@ -58,21 +58,19 @@ class MeshComm:
     def y_offset(self, ny_local):
         return lax.axis_index(self.y_axis) * ny_local
 
-    def _exchange_axis(self, a, h, axis, axis_name, R, periodic, modes):
-        if R > 1 and h > a.shape[axis]:
-            raise ValueError(
-                f"halo width {h} exceeds local tile extent {a.shape[axis]} "
-                f"along axis {axis}: use a smaller halo or fewer ranks"
-            )
-        lo_mode, hi_mode = modes
+    def exchange_strips(self, send_dn, send_up, axis_name, R, periodic,
+                        bc_lo, bc_hi):
+        """Ring-exchange the given edge strips; return the (lo, hi) ghost
+        blocks this rank should install.  ``send_dn``/``send_up`` are my
+        low/high edge strips (sent to the neighbors below/above);
+        ``bc_lo``/``bc_hi`` are the local physical-boundary ghost blocks
+        substituted at global-edge ranks (for periodic axes pass the wrap
+        blocks, i.e. bc_lo = my high strip).  Strip-level form of the
+        extension so callers can assemble ghost values in any layout
+        (e.g. ops.halos.extend_field_t3's transposed assembly) without a
+        full-array concatenation."""
         if R == 1 and not self.force_ring:
-            # single rank along this axis: purely local boundary handling
-            lo, hi = ghost_blocks(a, h, axis, lo_mode, hi_mode)
-            return jnp.concatenate([lo, a, hi], axis=axis)
-
-        # neighbor strips
-        send_up = _take(a, slice(-h, None), axis)   # my top strip -> neighbor above
-        send_dn = _take(a, slice(0, h), axis)       # my bottom strip -> neighbor below
+            return bc_lo, bc_hi
         if periodic:
             # R == 1 (force_ring): identity permutes — receiving your own
             # opposite strip IS the periodic wrap, so values match serial
@@ -83,13 +81,30 @@ class MeshComm:
             perm_dn = [(r, r - 1) for r in range(1, R)]
         recv_lo = lax.ppermute(send_up, axis_name, perm_up)  # from rank below
         recv_hi = lax.ppermute(send_dn, axis_name, perm_dn)  # from rank above
-
         if not periodic:
             # global-edge ranks use the physical boundary condition instead
             idx = lax.axis_index(axis_name)
-            bc_lo, bc_hi = ghost_blocks(a, h, axis, lo_mode, hi_mode)
             recv_lo = jnp.where(idx == 0, bc_lo, recv_lo)
             recv_hi = jnp.where(idx == R - 1, bc_hi, recv_hi)
+        return recv_lo, recv_hi
+
+    def _exchange_axis(self, a, h, axis, axis_name, R, periodic, modes):
+        if R > 1 and h > a.shape[axis]:
+            raise ValueError(
+                f"halo width {h} exceeds local tile extent {a.shape[axis]} "
+                f"along axis {axis}: use a smaller halo or fewer ranks"
+            )
+        lo_mode, hi_mode = modes
+        send_up = _take(a, slice(-h, None), axis)   # my top strip -> neighbor above
+        send_dn = _take(a, slice(0, h), axis)       # my bottom strip -> neighbor below
+        if R == 1 and not self.force_ring:
+            bc_lo, bc_hi = ghost_blocks(a, h, axis, lo_mode, hi_mode)
+        elif periodic:
+            bc_lo = bc_hi = None  # unused: every rank has ring neighbors
+        else:
+            bc_lo, bc_hi = ghost_blocks(a, h, axis, lo_mode, hi_mode)
+        recv_lo, recv_hi = self.exchange_strips(
+            send_dn, send_up, axis_name, R, periodic, bc_lo, bc_hi)
         return jnp.concatenate([recv_lo, a, recv_hi], axis=axis)
 
     def extend_xy(self, a, hx, hy, xmodes, ymodes):

@@ -31,7 +31,7 @@ def main():
     p.add_argument("--steps", type=int, default=64)
     p.add_argument("--dt", type=float, default=60.0)
     p.add_argument("--no-serial", action="store_true")
-    p.add_argument("--overlap", default="1", choices=["0", "1"],
+    p.add_argument("--overlap", default="0", choices=["0", "1"],
                    help="overlap_split on the forced-comm path (ablation)")
     p.add_argument("--exchange-width", type=int, default=None,
                    help="SplitExplicitFreeSurface.exchange_width (e.g. 30 = "
