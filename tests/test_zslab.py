@@ -860,3 +860,45 @@ def test_force_comm_tripolar_catke_g_t3_matches_serial(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-7
         )
+
+
+def test_sharded_catke_t3ops_nonfold_matches_serial(monkeypatch):
+    """Non-fold decomposed CATKE path (round 4): with overlap off, the
+    CATKE + z-slab kernels share fused transposed operands built from the
+    EXCHANGED extension (build_t3_operands(comm=...)); a real 2x1
+    decomposition must agree with the serial step."""
+    import jax
+
+    import dataclasses
+
+    from gb25_tpu.models import time_step
+    from gb25_tpu.models.catke import CATKEVerticalDiffusivity
+    from gb25_tpu.parallel import make_mesh, shard_state, sharded_step_fn
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    monkeypatch.setenv("GB25_ZSLAB_INTERPRET", "1")
+    grid = simple_latitude_longitude_grid(256, 32, 8, dtype=jnp.float32)
+    cfg = dataclasses.replace(
+        baroclinic_instability_config(closure=CATKEVerticalDiffusivity()),
+        kernels="zslab")
+    state = baroclinic_instability_state(grid, noise_velocity=1e-3,
+                                         tracers=cfg.tracers)
+
+    s_ref = state
+    step = jax.jit(time_step)
+    for _ in range(2):
+        s_ref = step(cfg, grid, s_ref, 60.0)
+
+    mesh = make_mesh(2, shape=(2, 1))  # local tiles 128x32: kernel-aligned
+    sfn = sharded_step_fn(cfg, grid, mesh, check_vma=False)
+    s_sh = shard_state(state, mesh)
+    for _ in range(2):
+        s_sh = sfn(s_sh, 60.0)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref), jax.tree_util.tree_leaves(s_sh)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-7
+        )
