@@ -509,7 +509,14 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
     # from streamed 2-D face-bottom planes), so the integrals agree with
     # zint of the re-masked updated fields.
     wall_v_kernel = comm is None
-    use_ints = ab2 is not None and comm is None
+    # in-kernel barotropic depth integrals: valid under comm too (each
+    # shard integrates its own columns); only the v* integral needs a
+    # post-kernel global-wall-row zero, because the kernel's wall_v masking
+    # is serial-only (local row 0 is global row 0 only without a comm).
+    # NOT valid under the overlap split: the kernel's updated fields are
+    # garbage on the boundary strips (recomputed+stitched later), so their
+    # in-kernel integrals would be garbage too.
+    use_ints = ab2 is not None and not overlap_kernel
     if use_zslab:
         # Fused transposed extends (one HBM materialization per kernel input
         # instead of extend + transpose): valid whenever the kernel consumes
@@ -573,6 +580,12 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             Gu, Gv, Gtr, u_upd, v_upd, tr_upd, ints = res
             updated = (u_upd, v_upd, tr_upd)
             uv_ints = list(ints)
+            if comm is not None:
+                # zint(v*) must integrate the WALL-MASKED v* (the caller
+                # re-masks v_star itself); only south-most ranks own row 0
+                rows = _row_index(grid, comm)
+                uv_ints[3] = uv_ints[3] * (rows != 0).astype(
+                    uv_ints[3].dtype)[None, :]
         elif ab2 is not None:
             Gu, Gv, Gtr, u_upd, v_upd, tr_upd = res
             updated = (u_upd, v_upd, tr_upd)
@@ -771,8 +784,14 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                     v_upd = add_top(v_upd, dtc1 * fa, upd_t3)
                 if uv_ints is not None:
                     # wall row excluded: v* is wall-masked after the deposit
-                    uv_ints[3] = uv_ints[3] + dtc1 * (
-                        fa * dz_top * vm_top).at[:, 0].set(0.0)
+                    inc_v = fa * dz_top * vm_top
+                    if comm is None:
+                        inc_v = inc_v.at[:, 0].set(0.0)
+                    else:  # global wall row only (thin row-index mask)
+                        rows_v = _row_index(grid, comm)
+                        inc_v = inc_v * (rows_v != 0).astype(
+                            inc_v.dtype)[None, :]
+                    uv_ints[3] = uv_ints[3] + dtc1 * inc_v
             else:
                 Gtr[name] = add_top(Gtr[name], fa, g_t3)
                 if updated is not None:
