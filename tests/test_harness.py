@@ -113,6 +113,37 @@ def test_checkpoint_roundtrip_sharded(setup, tmp_path):
     assert restored.u.sharding == sh.u.sharding
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_checkpoint_restart_cross_topology(setup, tmp_path):
+    """Resubmit-after-failure scenario (VERDICT r4 item 8): a checkpoint
+    written on one mesh topology restores bit-identically onto a DIFFERENT
+    topology and onto a single device — per-rank shard files carry global
+    index ranges, so reassembly is topology-free (reference restart =
+    resubmit + per-rank reload, sharded_io.jl:146-213)."""
+    from gb25_tpu.parallel import make_mesh, shard_state
+
+    cfg, grid, state = setup
+    # make the state non-trivial so equality is meaningful
+    state = state.replace(u=state.u + np.random.default_rng(0).standard_normal(
+        state.u.shape).astype(state.u.dtype))
+    d = str(tmp_path / "ckpt_x")
+    save_sharded_state(shard_state(state, make_mesh(8, shape=(4, 2))), d)
+
+    # restore onto the transposed 2x4 topology
+    sh24 = shard_state(state.replace(u=state.u * 0), make_mesh(8, shape=(2, 4)))
+    r24 = restore_state(sh24, d)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(r24.u)),
+                                  np.asarray(state.u))
+    np.testing.assert_array_equal(np.asarray(jax.device_get(r24.tracers["T"])),
+                                  np.asarray(state.tracers["T"]))
+    assert r24.u.sharding == sh24.u.sharding
+
+    # restore onto a single device (serial resubmit)
+    r1 = restore_state(state.replace(u=state.u * 0), d)
+    np.testing.assert_array_equal(np.asarray(r1.u), np.asarray(state.u))
+    np.testing.assert_array_equal(np.asarray(r1.v), np.asarray(state.v))
+
+
 def test_compare_states_pass_and_fail(setup):
     cfg, grid, state = setup
     compare_states(state, state, verbose=False)  # identical: no raise
