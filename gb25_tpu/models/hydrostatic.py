@@ -61,16 +61,6 @@ def _t3(a):
     return jnp.transpose(a, (2, 1, 0))
 
 
-def _row_index(grid, comm):
-    """Global y row index of each local row, shape (Ny_local,)."""
-    import jax
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (grid.Ny, 1), 0)[:, 0]
-    if comm is not None:
-        rows = rows + comm.y_offset(grid.Ny)
-    return rows
-
-
 def mask_v_wall(grid, v, comm=None, total_ny=None):
     """Zero the meridional velocity on the southern wall face (global j = 0).
 
@@ -80,16 +70,16 @@ def mask_v_wall(grid, v, comm=None, total_ny=None):
     Single device: a thin in-place row write (y is axis 1 in both the
     (X, Y, Z) and the kernel's transposed (Z, Y, X) layout) — the full-array
     mask multiply costs a whole HBM pass (~0.9 ms at the flagship size).
-    Distributed: the row-index mask multiply (only the south-most ranks own
-    global row 0, and a dynamic-index write would clamp out of range).
+    Distributed: global j = y_offset + j_local = 0 requires j_local = 0
+    (offsets are non-negative), so only LOCAL row 0 can ever be the wall —
+    a thin row-0 multiply by the traced scalar (y_offset != 0) replaces the
+    full-array row-index mask (round-5 decomposed-residual recovery: the
+    3-D mask multiply was a whole HBM pass per call site).
     """
     if comm is None:
         return v.at[:, 0].set(0.0)
-    rows = _row_index(grid, comm)
-    mask = (rows != 0).astype(v.dtype)
-    if v.ndim == 3:
-        return v * mask[None, :, None]
-    return v * mask[None, :]
+    keep = (comm.y_offset(grid.Ny) != 0).astype(v.dtype)
+    return v.at[:, 0].multiply(keep)
 
 
 def buoyancy_field(cfg, grid, tracers_e):
@@ -323,18 +313,18 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         # fused transposed extends are valid whenever the kernel consumes
         # the FULL extension semantics: serial, or a decomposed step
         # without the overlap split (the extension is then the exchanged
-        # one, built in the same fused ring-strip form).  The overlap path
-        # needs the exchanged extension separately for its strips, so it
-        # keeps the two-stage form.
+        # one, built in the same fused ring-strip form — fold grids
+        # included since round 5: extend_field_t3's distributed fold
+        # branch, bitwise-tested on a 2x2 mesh).  The overlap path needs
+        # the exchanged extension separately for its strips, so it keeps
+        # the two-stage form.
         overlap_pred = (
             cfg.overlap_split
             and comm is not None
             and grid.Nx > 2 * grid.hx
             and grid.Ny > 2 * grid.hy
         )
-        fused_ext_ok = comm is None or (
-            not overlap_pred and not getattr(grid, "north_fold", False)
-        )
+        fused_ext_ok = comm is None or not overlap_pred
         if use_ck and fused_ext_ok and zslab_supported(cfg, grid, ue, comm):
             # climate fast path: build the transposed extended operands ONCE
             # (fused extends) and share them between the CATKE diffusivity
@@ -525,11 +515,9 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
         # (north-fold grids included: extend_field_t3 computes the fold's
         # thin ghost slabs with the same code as extend_field and writes
         # them transposed — bitwise-equal, tested)
-        raw_ok = (
-            cfg.compute_dtype in (None, "bf16s")  # bf16s rounds at storage
-            and (comm is None or overlap_kernel
-                 or not getattr(grid, "north_fold", False))
-        )
+        # (fold grids valid under comm too since round 5: extend_field_t3's
+        # distributed fold branch builds the exchanged extension fused)
+        raw_ok = cfg.compute_dtype in (None, "bf16s")  # bf16s rounds at storage
         # extension semantics for the fused raw build: local-only under the
         # overlap split (the kernel must not depend on any ppermute), else
         # the real (exchanged) extension
@@ -582,10 +570,10 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
             uv_ints = list(ints)
             if comm is not None:
                 # zint(v*) must integrate the WALL-MASKED v* (the caller
-                # re-masks v_star itself); only south-most ranks own row 0
-                rows = _row_index(grid, comm)
-                uv_ints[3] = uv_ints[3] * (rows != 0).astype(
-                    uv_ints[3].dtype)[None, :]
+                # re-masks v_star itself); only south-most ranks own row 0,
+                # and only their LOCAL row 0 can be it (thin row write)
+                keep = (comm.y_offset(grid.Ny) != 0).astype(uv_ints[3].dtype)
+                uv_ints[3] = uv_ints[3].at[:, 0].multiply(keep)
         elif ab2 is not None:
             Gu, Gv, Gtr, u_upd, v_upd, tr_upd = res
             updated = (u_upd, v_upd, tr_upd)
@@ -787,10 +775,10 @@ def compute_tendencies(cfg, grid, state, comm=None, surface_fluxes=None, restori
                     inc_v = fa * dz_top * vm_top
                     if comm is None:
                         inc_v = inc_v.at[:, 0].set(0.0)
-                    else:  # global wall row only (thin row-index mask)
-                        rows_v = _row_index(grid, comm)
-                        inc_v = inc_v * (rows_v != 0).astype(
-                            inc_v.dtype)[None, :]
+                    else:  # only local row 0 can be the global wall
+                        keep_v = (comm.y_offset(grid.Ny) != 0).astype(
+                            inc_v.dtype)
+                        inc_v = inc_v.at[:, 0].multiply(keep_v)
                     uv_ints[3] = uv_ints[3] + dtc1 * inc_v
             else:
                 Gtr[name] = add_top(Gtr[name], fa, g_t3)

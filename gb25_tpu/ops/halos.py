@@ -196,7 +196,51 @@ def extend_field_t3(grid, a, kind: str, comm=None):
     hx, hy, hz = grid.halo
     if comm is not None:
         if getattr(grid, "north_fold", False):
-            return jnp.transpose(extend_field(grid, a, kind, comm), (2, 1, 0))
+            # distributed FOLD extension in the fused transposed form
+            # (round 5: the climate decomposed path previously paid
+            # extend + transpose per kernel input here, ~6 extra HBM
+            # passes/step at 1/4 degree).  Mirrors MeshComm.extend_xy_fold's
+            # order — y (south BC / ring / fold at the top rank row) first,
+            # then the x ring on the y-extended tile (edge strips carry
+            # their y-ghost rows, so corners match bitwise).
+            from jax import lax as _lax
+
+            from gb25_tpu.parallel.fold import fold_ghosts_north_dist
+
+            Nx, Ny, Nz = a.shape
+            t3 = lambda x: jnp.transpose(x, (2, 1, 0))
+            R = comm.Ry
+            fold_hi = fold_ghosts_north_dist(comm, a, hy, kind)
+            lo_bc, _ = ghost_blocks(a, hy, 1, ylo, "zerograd")
+            if R == 1 and not comm.force_ring:
+                lo_y, hi_y = lo_bc, fold_hi
+            else:
+                recv_lo = _lax.ppermute(
+                    a[:, -hy:], comm.y_axis,
+                    [(r, r + 1) for r in range(R - 1)])
+                recv_hi = _lax.ppermute(
+                    a[:, :hy], comm.y_axis,
+                    [(r, r - 1) for r in range(1, R)])
+                idx = _lax.axis_index(comm.y_axis)
+                lo_y = jnp.where(idx == 0, lo_bc, recv_lo)
+                hi_y = jnp.where(idx == R - 1, fold_hi, recv_hi)
+            send_dn_x = jnp.concatenate(
+                [lo_y[:hx], a[:hx], hi_y[:hx]], axis=1)
+            send_up_x = jnp.concatenate(
+                [lo_y[-hx:], a[-hx:], hi_y[-hx:]], axis=1)
+            lo_x, hi_x = comm.exchange_strips(
+                send_dn_x, send_up_x, comm.x_axis, comm.Rx, True,
+                bc_lo=send_up_x, bc_hi=send_dn_x)
+            e = jnp.pad(t3(a), ((hz, hz), (hy, hy), (hx, hx)))
+            e = e.at[hz : hz + Nz, :hy, hx : hx + Nx].set(t3(lo_y))
+            e = e.at[hz : hz + Nz, hy + Ny :, hx : hx + Nx].set(t3(hi_y))
+            e = e.at[hz : hz + Nz, :, :hx].set(t3(lo_x))
+            e = e.at[hz : hz + Nz, :, hx + Nx :].set(t3(hi_x))
+            if hz:
+                lo_z, hi_z = ghost_blocks(e[hz : hz + Nz], hz, 0, zlo, zhi)
+                e = e.at[:hz].set(lo_z)
+                e = e.at[hz + Nz :].set(hi_z)
+            return e
         Nx, Ny, Nz = a.shape
         t3 = lambda x: jnp.transpose(x, (2, 1, 0))
         # x ring (periodic): my own opposite strips double as the R==1 wrap

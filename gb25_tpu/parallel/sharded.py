@@ -81,6 +81,43 @@ def _force_comm_env() -> str | bool:
     return False
 
 
+class _CompiledShim:
+    """Compiled sharded step with the (state, dt) call surface: the builders
+    pass grid/atmos/restoring as hidden jit ARGUMENTS (so they are not baked
+    into the IR as constants), and this shim re-injects them."""
+
+    def __init__(self, compiled, extras):
+        self._c, self._extras = compiled, extras
+
+    def __call__(self, state, dt):
+        return self._c(state, dt, *self._extras)
+
+    def __getattr__(self, name):  # as_text, cost_analysis, memory_analysis...
+        return getattr(self._c, name)
+
+
+class _LoweredShim:
+    def __init__(self, lowered, extras):
+        self._l, self._extras = lowered, extras
+
+    def compile(self, *a, **kw):
+        return _CompiledShim(self._l.compile(*a, **kw), self._extras)
+
+    def __getattr__(self, name):
+        return getattr(self._l, name)
+
+
+def _aot_fn(jitted, extras):
+    """fn(state, dt) + fn.lower(state, dt) with ``extras`` injected."""
+
+    def fn(state, dt):
+        return jitted(state, dt, *extras)
+
+    fn.lower = lambda state, dt: _LoweredShim(
+        jitted.lower(state, dt, *extras), extras)
+    return fn
+
+
 def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
                     check_vma: bool = True, force_comm: bool = False):
     """Build a jitted sharded step: ``fn(state, dt) -> state``.
@@ -211,10 +248,12 @@ def sharded_step_fn(cfg, grid, mesh, n_inner: int | None = None, restoring=None,
         return jax.lax.fori_loop(
             0, n_inner, lambda _, s: one(s, premasked=True), state)
 
-    def fn(state, dt):
-        return _local_step(state, dt, grid, restoring)
-
-    return jax.jit(fn)
+    # grid metrics and restoring targets ride as jit ARGUMENTS, not closure
+    # captures: closed-over jax.Arrays are baked into the lowered module as
+    # constants, and at production sizes (2-D tripolar metrics, full-field
+    # restoring targets) the serialized IR exceeds the compile tunnel's
+    # request limit (HTTP 413, measured round 5 on the coupled twin)
+    return _aot_fn(jax.jit(_local_step), (grid, restoring))
 
 
 def sharded_coupled_step_fn(ccfg, grid, atmos, mesh, n_inner: int | None = None,
@@ -264,7 +303,9 @@ def sharded_coupled_step_fn(ccfg, grid, atmos, mesh, n_inner: int | None = None,
             return coupled_time_step(ccfg, lgrid, latmos, state, dt, comm)
         return coupled_loop(ccfg, lgrid, latmos, state, dt, n_inner, comm)
 
-    def fn(state, dt):
-        return _local_step(state, dt, grid, atmos)
-
-    return jax.jit(fn)
+    # atmos/grid as jit ARGUMENTS (not closure constants): the pre-regridded
+    # atmosphere is ~hundreds of MB at 1/4 degree — closed over, it bakes
+    # into the lowered IR and the compile tunnel rejects the request
+    # outright (HTTP 413, measured round 5); same reason bench.py's serial
+    # climate path passes atmos through jit
+    return _aot_fn(jax.jit(_local_step), (grid, atmos))

@@ -902,3 +902,45 @@ def test_sharded_catke_t3ops_nonfold_matches_serial(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-7
         )
+
+
+def test_extend_field_t3_tripolar_distributed():
+    """Round 5: the DISTRIBUTED fold extension in fused transposed form —
+    extend_field_t3(comm) on a real 2x2 decomposition of a tripolar grid is
+    bitwise transpose(extend_field(comm)) for every BC kind (this unlocks
+    the fused-operand fast path for the climate decomposed step)."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from gb25_tpu.grids import tripolar_grid
+    from gb25_tpu.ops.halos import extend_field, extend_field_t3
+    from gb25_tpu.parallel import make_mesh
+    from gb25_tpu.parallel.localize import localize_grid
+    from gb25_tpu.parallel.sharded import make_comm
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    grid = tripolar_grid(64, 32, 6, dtype=jnp.float64)
+    mesh = make_mesh(4, shape=(2, 2))
+    comm = make_comm(mesh, grid)
+    nxl, nyl = grid.Nx // 2, grid.Ny // 2
+    gspec = jax.tree_util.tree_map(lambda _: P(), grid)
+    key = jax.random.PRNGKey(7)
+
+    for kind in ("u", "v", "c", "w"):
+        a = jax.random.normal(key, grid.shape, jnp.float64)
+
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P("x", "y", None), gspec),
+                 out_specs=P())
+        def diff(al, g, kind=kind):
+            lg = localize_grid(g, comm, nxl, nyl)
+            want = jnp.transpose(extend_field(lg, al, kind, comm), (2, 1, 0))
+            got = extend_field_t3(lg, al, kind, comm)
+            d = jnp.max(jnp.abs(got - want))
+            return lax.pmax(lax.pmax(d, "x"), "y")
+
+        assert float(diff(a, grid)) == 0.0, kind
