@@ -74,6 +74,11 @@ def main():
                    choices=["auto", "zslab", "pallas", "jnp"],
                    help="tendency backend ablation (auto = z-slab Pallas "
                         "kernel on TPU, XLA array ops elsewhere)")
+    p.add_argument("--force-comm", default=None, choices=["local", "ring"],
+                   help="climate config only: run the DECOMPOSED (comm != "
+                        "None) program on a forced-comm 1x1 mesh — the "
+                        "single-chip measurement of the distributed climate "
+                        "path (VERDICT r4 item 1); exchange_width=substeps")
     p.add_argument("--config", default="baroclinic",
                    choices=["baroclinic", "climate", "atmosphere"],
                    help="climate = the reference's actual benchmark "
@@ -145,13 +150,40 @@ def main():
         args.nx = grid.Nx
         args.ny = grid.Ny
 
-        # atmos must ride as a jit ARGUMENT: closing over the pre-regridded
-        # record would bake ~800 MB of constants into the IR (the compile
-        # tunnel rejects the request outright)
-        _cl = jax.jit(coupled_loop, static_argnames="n")
+        if args.force_comm:
+            # decomposed-path measurement (VERDICT r4 item 1): the sharded
+            # coupled program — localize, W-wide fold-aware extends, blocked
+            # barotropic, transposed-G carry under comm — on a 1x1 mesh with
+            # local boundary fills.  warmup is forced to `steps` so the
+            # warmup call reuses the single compiled n_inner program.
+            from gb25_tpu.models.config import SplitExplicitFreeSurface as _SE
+            from gb25_tpu.parallel import make_mesh as _mm
+            from gb25_tpu.parallel import shard_state as _ss
+            from gb25_tpu.parallel.sharded import sharded_coupled_step_fn
 
-        def lp_fn(_cfg, _grid, s, dt, n):
-            return _cl(ccfg, _grid, atmos, s, dt, n)
+            ocfg2 = dataclasses.replace(
+                ccfg.ocean, free_surface=dataclasses.replace(
+                    ccfg.ocean.free_surface,
+                    exchange_width=ccfg.ocean.free_surface.substeps))
+            ccfg = dataclasses.replace(ccfg, ocean=ocfg2)
+            args.warmup = args.steps
+            _mesh1 = _mm(1, shape=(1, 1))
+            _sfn = sharded_coupled_step_fn(ccfg, grid, atmos, _mesh1,
+                                           n_inner=args.steps,
+                                           force_comm=args.force_comm)
+            state = _ss(state, _mesh1)
+
+            def lp_fn(_cfg, _grid, s, dt, n):
+                assert n == args.steps
+                return _sfn(s, dt)
+        else:
+            # atmos must ride as a jit ARGUMENT: closing over the
+            # pre-regridded record would bake ~800 MB of constants into the
+            # IR (the compile tunnel rejects the request outright)
+            _cl = jax.jit(coupled_loop, static_argnames="n")
+
+            def lp_fn(_cfg, _grid, s, dt, n):
+                return _cl(ccfg, _grid, atmos, s, dt, n)
     elif args.config == "atmosphere":
         from gb25_tpu.models.shallow_water import (
             ShallowWaterConfig,
@@ -350,7 +382,7 @@ def main():
             from gb25_tpu.parallel import make_mesh, shard_state
             from gb25_tpu.parallel.sharded import sharded_step_fn
 
-            steps1 = min(args.steps, 32)
+            steps1 = min(args.steps, 64)  # dispatch amortization (round 5)
             cfg1 = dataclasses.replace(
                 cfg, free_surface=SplitExplicitFreeSurface(exchange_width=30))
             mesh1 = make_mesh(1, shape=(1, 1))
@@ -377,16 +409,18 @@ def main():
         # ocean: tripolar + gaussian islands + CATKE + coupled fluxes) at
         # the round-3 evidence size AND at the full 1/4-degree flagship
         # width, captured in the driver artifact without judge re-runs.
-        def climate_row(tag, nx, steps):
+        def climate_row(tag, nx, steps, force_comm=None):
             try:
                 import subprocess
                 import sys as _sys
 
+                cmd = [_sys.executable, __file__, "--config", "climate",
+                       "--nx", str(nx), "--steps", str(steps),
+                       "--no-precision-rows"]
+                if force_comm:
+                    cmd += ["--force-comm", force_comm]
                 r = subprocess.run(
-                    [_sys.executable, __file__, "--config", "climate",
-                     "--nx", str(nx), "--steps", str(steps),
-                     "--no-precision-rows"],
-                    capture_output=True, text=True, timeout=3000,
+                    cmd, capture_output=True, text=True, timeout=3000,
                 )
                 line = [l for l in r.stdout.strip().splitlines()
                         if l.startswith("{")][-1]
@@ -399,6 +433,44 @@ def main():
 
         climate_row("climate", 768, min(args.steps, 48))
         climate_row("climate_quarter_degree", 1536, min(args.steps, 24))
+        # the north-star workload's DECOMPOSED path on this chip (VERDICT r4
+        # item 1): forced-comm 1x1 mesh, local fills, one wide barotropic
+        # exchange block; n_inner=128 amortizes the tunnel's per-call
+        # dispatch (PARITY round-4 gotcha #4)
+        climate_row("climate_quarter_sharded1x1", 1536, 128, force_comm="local")
+        if ("climate_quarter_sharded1x1_ms_per_step" in extra
+                and "climate_quarter_degree_ms_per_step" in extra):
+            extra["climate_quarter_sharded1x1_vs_serial"] = round(
+                extra["climate_quarter_sharded1x1_ms_per_step"]
+                / extra["climate_quarter_degree_ms_per_step"], 3)
+
+        # Second model family in the default artifact (VERDICT r4 item 6):
+        # the rotating shallow-water "atmosphere" companion at the flagship
+        # horizontal size (the reference's weak-scaling table carries ocean
+        # AND atmosphere rows, alps-weak-scaling.jl:23-34; its spectral
+        # model's per-GPU tile is unpublished so vs_baseline is n/a — wall
+        # ms/step + cell-steps/s are the comparable figures).
+        def atmosphere_row(tag, steps):
+            try:
+                import subprocess
+                import sys as _sys
+
+                r = subprocess.run(
+                    [_sys.executable, __file__, "--config", "atmosphere",
+                     "--nx", str(args.nx), "--ny", str(args.ny),
+                     "--steps", str(steps), "--no-precision-rows"],
+                    capture_output=True, text=True, timeout=3000,
+                )
+                line = [l for l in r.stdout.strip().splitlines()
+                        if l.startswith("{")][-1]
+                sub = json.loads(line)
+                extra[f"{tag}_ms_per_step"] = sub["ms_per_step"]
+                extra[f"{tag}_cell_steps_per_sec"] = sub["value"]
+                extra[f"{tag}_grid"] = sub["metric"].split("(")[1].split(",")[0]
+            except Exception as e:  # pragma: no cover
+                extra[f"{tag}_error"] = str(e).split("\n")[0][:160]
+
+        atmosphere_row("atmosphere", args.steps)
         if "climate_quarter_degree_ms_per_step" in extra:
             # SYPD at the 1/4-degree real-config time step (BASELINE.md:
             # dt ~ 4 min at 1/4 degree; 1 SYPD needs <= 655 ms/step).

@@ -42,6 +42,13 @@ def main():
                         "loopback-relay collective latency); local = "
                         "decomposed program with local fills (the honest "
                         "compute-overhead number)")
+    p.add_argument("--config", default="baroclinic",
+                   choices=["baroclinic", "climate"],
+                   help="climate = the coupled data-free climate ocean "
+                        "(tripolar + gaussian islands + CATKE + coupled "
+                        "fluxes) — the reference's actual benchmark "
+                        "configuration; grid from --nx via resolution "
+                        "384/(nx/4) (VERDICT r4 item 1)")
     args = p.parse_args()
 
     from gb25_tpu.utils.env import preamble
@@ -62,27 +69,51 @@ def main():
 
     enable_persistent_cache()
 
-    grid = simple_latitude_longitude_grid(args.nx, args.ny, args.nz,
-                                          dtype=jnp.float32)
-    cfg = baroclinic_instability_config()
-    cfg = dataclasses.replace(cfg, overlap_split=args.overlap == "1")
-    if args.exchange_width:
-        from gb25_tpu.models.config import SplitExplicitFreeSurface
+    if args.config == "climate":
+        from gb25_tpu.models.coupled import coupled_loop, data_free_ocean_climate_model
+        from gb25_tpu.parallel.sharded import sharded_coupled_step_fn
 
-        cfg = dataclasses.replace(
-            cfg, free_surface=SplitExplicitFreeSurface(
-                exchange_width=args.exchange_width))
-    state = baroclinic_instability_state(grid)
+        ccfg, grid, atmos, state = data_free_ocean_climate_model(
+            resolution=384.0 / args.nx, Nz=args.nz, dtype=jnp.float32,
+            grid_type="gaussian_islands_tripolar")
+        assert grid.immersed and grid.north_fold
+        args.nx, args.ny = grid.Nx, grid.Ny
+        if args.exchange_width:
+            ocfg = dataclasses.replace(
+                ccfg.ocean, free_surface=dataclasses.replace(
+                    ccfg.ocean.free_surface,
+                    exchange_width=args.exchange_width))
+            ccfg = dataclasses.replace(ccfg, ocean=ocfg)
+    else:
+        grid = simple_latitude_longitude_grid(args.nx, args.ny, args.nz,
+                                              dtype=jnp.float32)
+        cfg = baroclinic_instability_config()
+        cfg = dataclasses.replace(cfg, overlap_split=args.overlap == "1")
+        if args.exchange_width:
+            from gb25_tpu.models.config import SplitExplicitFreeSurface
+
+            cfg = dataclasses.replace(
+                cfg, free_surface=SplitExplicitFreeSurface(
+                    exchange_width=args.exchange_width))
+        state = baroclinic_instability_state(grid)
     dt = jnp.float32(args.dt)
 
     def sync(s):
         jax.device_get(s.iteration)
 
     out = {"grid": f"{args.nx}x{args.ny}x{args.nz}", "steps": args.steps,
-           "overlap_split": args.overlap == "1"}
+           "overlap_split": args.overlap == "1", "config": args.config}
 
     if not args.no_serial:
-        lp = jax.jit(loop, static_argnames="n")
+        if args.config == "climate":
+            _cl = jax.jit(coupled_loop, static_argnames="n")
+
+            def lp(c, g, s, d, n):
+                return _cl(ccfg, g, atmos, s, d, n)
+
+            cfg = None
+        else:
+            lp = jax.jit(loop, static_argnames="n")
         s = lp(cfg, grid, state, dt, args.steps)
         sync(s)
         t0 = time.perf_counter()
@@ -97,9 +128,14 @@ def main():
         # serial-shardmap: the 1x1 serial-routed path (comm=None) under
         # shard_map — isolates the shard_map wrapper cost from the
         # decomposed-program cost
-        fn = sharded_step_fn(cfg, grid, mesh, n_inner=args.steps,
-                             force_comm=(False if mode == "serial-shardmap"
-                                         else mode))
+        if args.config == "climate":
+            fn = sharded_coupled_step_fn(
+                ccfg, grid, atmos, mesh, n_inner=args.steps,
+                force_comm=(False if mode == "serial-shardmap" else mode))
+        else:
+            fn = sharded_step_fn(cfg, grid, mesh, n_inner=args.steps,
+                                 force_comm=(False if mode == "serial-shardmap"
+                                             else mode))
         s = shard_state(state, mesh)
         s = fn(s, dt)
         sync(s)
