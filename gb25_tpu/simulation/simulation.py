@@ -200,14 +200,27 @@ class CheckpointWriter:
                 shutil.rmtree(old, ignore_errors=True)
 
 
+@jax.jit
+def _progress_stats(u, T):
+    import jax.numpy as jnp
+
+    if T is None:
+        return jnp.abs(u).max(), None, None
+    return jnp.abs(u).max(), T.min(), T.max()
+
+
 def progress_callback(sim: Simulation):
     """Default progress logger (reference:
     simulations/ocean_climate_simulation.jl:95-116: iteration, time, max|u|,
-    extrema(T), wall time)."""
+    extrema(T), wall time).
+
+    Reductions run ON DEVICE and only scalars cross to the host — pulling
+    the full u/T arrays costs ~300 MB per callback at 1/4 degree (a
+    production-run killer on the tunneled chip, found round 5)."""
     s = sim.state
-    u = np.asarray(s.u)
-    msg = f"iter={sim.iteration} t={sim.time / 86400.0:.3f} days max|u|={np.abs(u).max():.4f}"
-    if "T" in s.tracers:
-        T = np.asarray(s.tracers["T"])
-        msg += f" T in [{T.min():.3f}, {T.max():.3f}]"
+    mu, tmin, tmax = jax.device_get(
+        _progress_stats(s.u, s.tracers.get("T")))
+    msg = f"iter={sim.iteration} t={sim.time / 86400.0:.3f} days max|u|={float(mu):.4f}"
+    if tmin is not None:
+        msg += f" T in [{float(tmin):.3f}, {float(tmax):.3f}]"
     logger.info(msg)
