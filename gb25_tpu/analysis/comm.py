@@ -53,21 +53,32 @@ class CommStats:
 
 def _find_while_body(hlo: str):
     """Return (body_text, trip_count) of the steady-state while loop, or
-    (None, None) when the program has no while (single-step program)."""
-    m = re.search(r"while\([^)]*\)[^\n]*body=%([\w\.\-]+)", hlo)
-    if not m:
+    (None, None) when the program has no while (single-step program).
+
+    Programs can carry several while loops (implicit-solve scans, blocked
+    barotropic loops, the n-step outer loop); the steady-state STEP body is
+    the one whose computation contains the halo-exchange permutes — pick
+    the body with the most collective-permutes, not the first while in
+    textual order (which picked a permute-free inner loop on the coupled
+    climate program, round-5 fix)."""
+    names = re.findall(r"while\([^)]*\)[^\n]*body=%([\w\.\-]+)", hlo)
+    if not names:
         return None, None
-    body_name = m.group(1)
     trip = None
     tm = re.search(r'known_trip_count[^}]*?"n":"(\d+)"', hlo)
     if tm:
         trip = int(tm.group(1))
-    # the computation block: from its definition line to the closing brace
-    start = hlo.find(f"%{body_name} (")
-    if start < 0:
-        return None, trip
-    end = hlo.find("\n}", start)
-    return hlo[start:end], trip
+    best, best_n = None, -1
+    for body_name in dict.fromkeys(names):
+        start = hlo.find(f"%{body_name} (")
+        if start < 0:
+            continue
+        end = hlo.find("\n}", start)
+        body = hlo[start:end]
+        n = sum(1 for _ in _iter_permute_results(body))
+        if n > best_n:
+            best, best_n = body, n
+    return best, trip
 
 
 def collective_permute_stats(hlo: str) -> CommStats:
@@ -105,24 +116,45 @@ ICI_BYTES_PER_SEC = 1.8e11
 ICI_LATENCY_PER_ROUND = 3e-6  # per collective-permute dispatch (s)
 
 
+# the ICI constants above are datasheet-derived and UNCALIBRATED on this
+# one-chip environment; the documented uncertainty is ~2x on the bandwidth
+# term under contention and at least that on the per-permute dispatch
+# latency (scripts/probes/measure_ici.py), so the bar is applied to the
+# WHOLE comm term.  Every projection row carries it INLINE (VERDICT r4
+# item 9).
+ICI_BW_UNCERTAINTY = 2.0
+
+
 def project_weak_scaling(ms_per_step_compute: float, stats: CommStats,
                          chip_counts=(8, 16, 32, 64, 128, 256),
                          overlap: bool = True,
                          ici_bytes_per_sec: float = ICI_BYTES_PER_SEC,
-                         latency_per_round: float = ICI_LATENCY_PER_ROUND):
+                         latency_per_round: float = ICI_LATENCY_PER_ROUND,
+                         bw_uncertainty: float = ICI_BW_UNCERTAINTY):
     """Project weak-scaling efficiency: fixed per-device tile, so bytes/step/
     device is constant with chip count; comm either hides under compute
     (overlap=True; the interior/boundary split + XLA latency hiding) or adds
-    serially (the ablation). Returns {chips: {ms_per_step, efficiency}}."""
+    serially (the ablation). Returns {chips: {ms_per_step, efficiency,
+    comm_ms, comm_ms_range, efficiency_range}} — the *_range fields span the
+    ~``bw_uncertainty``x uncertainty applied to the WHOLE comm term (best
+    case: nominal constants; worst case: every constant degraded by that
+    factor — at production tile sizes the per-permute dispatch latency
+    dominates the bytes term, so a bandwidth-only bar would understate)."""
     t_comp = ms_per_step_compute / 1e3
     t_comm = stats.bytes_per_step / ici_bytes_per_sec \
         + stats.permute_count * latency_per_round
+    t_comm_hi = t_comm * bw_uncertainty
     out = {}
     for n in chip_counts:
-        t = max(t_comp, t_comm) if overlap else t_comp + t_comm
+        def total(tc):
+            return max(t_comp, tc) if overlap else t_comp + tc
+
+        t, t_hi = total(t_comm), total(t_comm_hi)
         out[n] = {
             "ms_per_step": 1e3 * t,
             "efficiency": t_comp / t,
             "comm_ms": 1e3 * t_comm,
+            "comm_ms_range": [1e3 * t_comm, 1e3 * t_comm_hi],
+            "efficiency_range": [t_comp / t_hi, t_comp / t],
         }
     return out

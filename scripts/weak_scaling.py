@@ -57,6 +57,39 @@ def run_once(n, tile, Nz, steps, dtype_name, overlap=True):
     }
 
 
+def climate_comm_stats(nx, nz):
+    """Exact per-device collective-permute bytes of the sharded 1/4-degree
+    coupled climate program: lower + compile (CPU backend, no execution) the
+    full decomposed program on a 2x2 mesh and read the steady-state while
+    body's permutes (analysis/comm.py).  The tile this yields (nx/2 x nx/4)
+    is the fixed per-device tile of the pod-scale projection."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from gb25_tpu.analysis.comm import collective_permute_stats
+    from gb25_tpu.models.coupled import data_free_ocean_climate_model
+    from gb25_tpu.parallel import make_mesh, shard_state
+    from gb25_tpu.parallel.sharded import sharded_coupled_step_fn
+
+    ccfg, grid, atmos, state = data_free_ocean_climate_model(
+        resolution=384.0 / nx, Nz=nz, dtype=jnp.float32,
+        grid_type="gaussian_islands_tripolar")
+    # production decomposed setting: one wide exchange block for the whole
+    # barotropic solve (matches the measured compute term's configuration)
+    ocfg = dataclasses.replace(
+        ccfg.ocean, free_surface=dataclasses.replace(
+            ccfg.ocean.free_surface,
+            exchange_width=ccfg.ocean.free_surface.substeps))
+    ccfg = dataclasses.replace(ccfg, ocean=ocfg)
+    mesh = make_mesh(4, shape=(2, 2))
+    fn = sharded_coupled_step_fn(ccfg, grid, atmos, mesh, n_inner=4)
+    compiled = fn.lower(shard_state(state, mesh),
+                        jnp.float32(60.0)).compile()
+    return collective_permute_stats(compiled.as_text())
+
+
 def main():
     from gb25_tpu.utils.env import preamble
 
@@ -82,6 +115,15 @@ def main():
                         "TPU hardware).  Without it the projection falls "
                         "back to this sweep's own ms/step — meaningless on "
                         "virtual CPU devices.")
+    p.add_argument("--climate-compute-ms", type=float, default=None,
+                   help="measured decomposed-path ms/step of the 1/4-degree "
+                        "coupled climate configuration (bench.py "
+                        "climate_quarter_sharded1x1 row); adds a climate "
+                        "projection whose comm term is the EXACT compiled "
+                        "byte count of the sharded coupled program at "
+                        "1536x768 on a 2x2 mesh (VERDICT r4 item 1)")
+    p.add_argument("--climate-nx", type=int, default=1536)
+    p.add_argument("--climate-nz", type=int, default=64)
     args = p.parse_args()
     counts = [int(c) for c in args.counts.split(",")]
     tile = (tuple(int(v) for v in args.tile.split("x"))
@@ -121,20 +163,48 @@ def main():
     compute_src = ("measured kernel-path (--compute-ms)" if args.compute_ms
                    else "this sweep (virtual-CPU noise; pass --compute-ms)")
     print(f"\nICI weak-scaling projection (per-device tile fixed; "
-          f"compute term {compute_ms:.2f} ms from {compute_src}):")
-    print(f"{'chips':>6} {'overlap eff':>12} {'ablated eff':>12} {'comm ms/step':>13}")
+          f"compute term {compute_ms:.2f} ms from {compute_src}; "
+          f"eff ranges span the ~2x ICI-bandwidth uncertainty):")
+    print(f"{'chips':>6} {'overlap eff':>12} {'ablated eff':>12} "
+          f"{'ablated eff range':>20} {'comm ms [nom..2x]':>20}")
     for ovl in (True, False):
         projection["overlap" if ovl else "ablated"] = project_weak_scaling(
             compute_ms, stats, chip_counts=chips, overlap=ovl)
     for n in chips:
         po = projection["overlap"][n]
         pa = projection["ablated"][n]
+        er = pa["efficiency_range"]
+        cr = pa["comm_ms_range"]
         print(f"{n:>6} {po['efficiency']:>12.3f} {pa['efficiency']:>12.3f} "
-              f"{po['comm_ms']:>13.3f}")
+              f"{f'[{er[0]:.3f}, {er[1]:.3f}]':>20} "
+              f"{f'[{cr[0]:.3f}, {cr[1]:.3f}]':>20}")
+
+    # climate projection (the north-star workload): comm term from the
+    # compiled sharded coupled program's exact collective-permute bytes
+    climate_projection = None
+    if args.climate_compute_ms:
+        climate_stats = climate_comm_stats(args.climate_nx, args.climate_nz)
+        climate_projection = {}
+        for ovl in (True, False):
+            climate_projection["overlap" if ovl else "ablated"] = \
+                project_weak_scaling(args.climate_compute_ms, climate_stats,
+                                     chip_counts=chips, overlap=ovl)
+        pa = climate_projection["ablated"][chips[0]]
+        print(f"\nclimate 1/4-deg projection: compute "
+              f"{args.climate_compute_ms:.2f} ms (measured decomposed path), "
+              f"comm {pa['comm_ms']:.3f} ms "
+              f"[{pa['comm_ms_range'][0]:.3f}, {pa['comm_ms_range'][1]:.3f}], "
+              f"ablated eff {pa['efficiency']:.3f} "
+              f"[{pa['efficiency_range'][0]:.3f}, "
+              f"{pa['efficiency_range'][1]:.3f}] "
+              f"({climate_stats.permute_count} permutes, "
+              f"{climate_stats.bytes_per_step/1e6:.2f} MB/step/dev)")
 
     out = {"runs": results, "projection": projection,
            "projection_compute_ms": compute_ms,
            "projection_compute_source": compute_src,
+           "climate_projection": climate_projection,
+           "climate_projection_compute_ms": args.climate_compute_ms,
            "ici_constants": "analysis/comm.py defaults (uncalibrated: this "
                             "env has one real chip; see "
                             "scripts/probes/measure_ici.py for the "
