@@ -97,6 +97,71 @@ def baroclinic_instability_state(
     return state.replace(u=u, v=v, tracers=new_tracers)
 
 
+def balanced_jet_state(
+    grid, cfg=None, noise_velocity=1e-3, seed=42, dtype=None,
+    tracers=("T", "S"),
+) -> HydrostaticState:
+    """Thermal-wind-balanced baroclinic jet (round-5 eddy-probe initializer).
+
+    Same analytic T/S front as ``baroclinic_instability_state``, but the
+    zonal velocity starts in thermal-wind balance with the front and the
+    free surface is set so the bottom flow vanishes:
+
+        p(y,z) = g eta(y) - int_z^0 b dz',    u_g = -(1/f) dp/dy,
+        u(-H) = 0  =>  g eta(y) = int_{-H}^0 b dz' (demeaned),
+                       u(y,z) = -(1/f) d/dy int_{-H}^z b dz'.
+
+    This removes the geostrophic-adjustment transient of the unbalanced
+    init — the transient's w-CFL clamped the eddy probe to dt <= 60 s at
+    1/4 degree and contaminated the growth-rate fit window (VERDICT r4
+    item 5; docs/EDDY_VALIDATION.json).  ``1/f`` is clamped at |phi| = 10
+    deg (the front lives at |phi| ~ 40 deg, where the buoyancy gradient —
+    and hence u — is concentrated; near the equator the analytic front is
+    flat so the clamped residual is negligible)."""
+    import numpy as np
+
+    from gb25_tpu.grids.latlon import EARTH_RADIUS
+    from gb25_tpu.models.config import EARTH_ROTATION_RATE
+
+    dtype = dtype or grid.dtype
+    cfg = cfg or baroclinic_instability_config()
+    state = baroclinic_instability_state(
+        grid, noise_velocity=0.0, seed=seed, dtype=dtype, tracers=tracers)
+
+    # balance arithmetic in f64 numpy (init-time only)
+    phi_c = np.asarray(grid.phi_c_i, np.float64)          # (Ny,)
+    z_c = np.asarray(grid.z_c_i, np.float64)              # (Nz,)
+    hz = grid.hz
+    dz = np.asarray(grid.dz_c, np.float64).reshape(-1)[hz : hz + grid.Nz]
+    T = np.asarray(state.tracers["T"], np.float64)[0]     # (Ny, Nz): x-indep
+    S = np.asarray(state.tracers["S"], np.float64)[0]
+    b = np.asarray(cfg.eos.buoyancy(T, S, z_c.reshape(1, -1)), np.float64)
+
+    # int_{-H}^{z_k} b dz' at cell centers (midpoint rule)
+    B = np.cumsum(b * dz.reshape(1, -1), axis=1)          # (Ny, Nz)
+    y_c = EARTH_RADIUS * np.deg2rad(phi_c)
+    dBdy = np.gradient(B, y_c, axis=0)
+
+    f = 2.0 * EARTH_ROTATION_RATE * np.sin(np.deg2rad(phi_c))
+    f_min = 2.0 * EARTH_ROTATION_RATE * np.sin(np.deg2rad(10.0))
+    f_cl = np.where(np.abs(f) < f_min, np.where(f < 0, -f_min, f_min), f)
+
+    u2 = -dBdy / f_cl.reshape(-1, 1)                      # (Ny, Nz)
+    eta1 = (B[:, -1] - B[:, -1].mean()) / 9.80665         # (Ny,)
+
+    u = jnp.broadcast_to(jnp.asarray(u2, dtype)[None], grid.shape)
+    eta = jnp.broadcast_to(jnp.asarray(eta1, dtype)[None], grid.shape[:2])
+    if noise_velocity:
+        key = jax.random.PRNGKey(seed)
+        ku, kv = jax.random.split(key)
+        u = u + noise_velocity * jax.random.normal(ku, grid.shape, dtype)
+        v = noise_velocity * jax.random.normal(kv, grid.shape, dtype)
+        v = v.at[:, 0, :].set(0.0)
+    else:
+        v = jnp.zeros(grid.shape, dtype)
+    return state.replace(u=u, v=v, eta=eta)
+
+
 def baroclinic_instability_model(
     Nx, Ny, Nz, halo=(4, 4, 4), dtype=jnp.float32, **config_kw
 ):
