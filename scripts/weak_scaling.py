@@ -57,6 +57,34 @@ def run_once(n, tile, Nz, steps, dtype_name, overlap=True):
     }
 
 
+def flagship_comm_stats(tile, Nz, dtype_name):
+    """Exact per-device collective-permute bytes of the sharded flagship
+    program at the given per-device tile: lower + compile on a 2x2 mesh
+    (no execution) and read the steady-state while body (analysis/comm.py)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gb25_tpu.analysis.comm import collective_permute_stats
+    from gb25_tpu.grids import simple_latitude_longitude_grid
+    from gb25_tpu.models import baroclinic_instability_config, baroclinic_instability_state
+    from gb25_tpu.models.config import SplitExplicitFreeSurface
+    from gb25_tpu.parallel import make_mesh, shard_state, sharded_step_fn
+
+    tx, ty = tile
+    grid = simple_latitude_longitude_grid(2 * tx, 2 * ty, Nz,
+                                          dtype=jnp.dtype(dtype_name))
+    cfg = dataclasses.replace(
+        baroclinic_instability_config(), overlap_split=False,
+        free_surface=SplitExplicitFreeSurface(exchange_width=30))
+    mesh = make_mesh(4, shape=(2, 2))
+    fn = sharded_step_fn(cfg, grid, mesh, n_inner=4)
+    compiled = fn.lower(
+        shard_state(baroclinic_instability_state(grid), mesh),
+        jnp.asarray(1.0, grid.dtype)).compile()
+    return collective_permute_stats(compiled.as_text())
+
+
 def climate_comm_stats(nx, nz):
     """Exact per-device collective-permute bytes of the sharded 1/4-degree
     coupled climate program: lower + compile (CPU backend, no execution) the
@@ -124,7 +152,17 @@ def main():
                         "1536x768 on a 2x2 mesh (VERDICT r4 item 1)")
     p.add_argument("--climate-nx", type=int, default=1536)
     p.add_argument("--climate-nz", type=int, default=64)
+    p.add_argument("--stats-tile", default=None,
+                   help="per-device tile NXxNY for a COMPILE-ONLY comm-stats "
+                        "build feeding the projection (decouples the "
+                        "projection's byte accounting from the timed sweep's "
+                        "tile, which must stay small on virtual-CPU devices)")
+    p.add_argument("--stats-nz", type=int, default=64,
+                   help="Nz of the compile-only stats build (the PRODUCTION "
+                        "depth — exchanged 3-D strip bytes scale with it)")
     args = p.parse_args()
+    if args.stats_tile:
+        args.stats_tile = tuple(int(v) for v in args.stats_tile.split("x"))
     counts = [int(c) for c in args.counts.split(",")]
     tile = (tuple(int(v) for v in args.tile.split("x"))
             if "x" in args.tile else int(args.tile))
@@ -150,13 +188,26 @@ def main():
               f"{str(r['overlap_split'])[0]:>4} {r['permutes_per_step']:>8} "
               f"{r['comm_bytes_per_step_per_device'] / 1e3:>10.1f}")
 
-    # ICI projection at pod scale (fixed tile => constant bytes/step/device)
+    # ICI projection at pod scale (fixed tile => constant bytes/step/device).
+    # The projection's comm stats come from a COMPILE-ONLY build at the
+    # production per-device tile (--stats-tile) on a 2x2 mesh — the timed
+    # sweep can then use small tiles (big tiles trip the virtual-CPU
+    # collective rendezvous timeout when all devices share one host's
+    # cores) without degrading the projection's byte accounting.
     from gb25_tpu.analysis.comm import CommStats, project_weak_scaling
 
-    last = results[len(counts) - 1]
-    stats = CommStats(permute_count=last["permutes_per_step"],
-                      bytes_per_step=int(last["comm_bytes_per_step_per_device"]),
-                      trip_count=None, per_op=[])
+    if args.stats_tile:
+        stats = flagship_comm_stats(args.stats_tile, args.stats_nz, args.dtype)
+        print(f"projection comm stats from compile-only build at tile "
+              f"{args.stats_tile[0]}x{args.stats_tile[1]}x{args.stats_nz}: "
+              f"{stats.permute_count} permutes, "
+              f"{stats.bytes_per_step/1e6:.2f} MB/step/dev")
+    else:
+        last = results[len(counts) - 1]
+        stats = CommStats(
+            permute_count=last["permutes_per_step"],
+            bytes_per_step=int(last["comm_bytes_per_step_per_device"]),
+            trip_count=None, per_op=[])
     chips = [int(c) for c in args.project_chips.split(",")]
     projection = {}
     compute_ms = args.compute_ms if args.compute_ms else last["ms_per_step"]
@@ -203,6 +254,10 @@ def main():
     out = {"runs": results, "projection": projection,
            "projection_compute_ms": compute_ms,
            "projection_compute_source": compute_src,
+           "projection_stats_tile": (list(args.stats_tile)
+                                     if args.stats_tile else None),
+           "projection_comm_stats": {"permutes_per_step": stats.permute_count,
+                                     "bytes_per_step_per_device": stats.bytes_per_step},
            "climate_projection": climate_projection,
            "climate_projection_compute_ms": args.climate_compute_ms,
            "ici_constants": "analysis/comm.py defaults (uncalibrated: this "
